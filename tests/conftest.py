@@ -1,0 +1,35 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 on.
+
+The driver provides one real TPU chip only; multi-chip sharding is validated
+on a virtual 8-device CPU mesh per the project conventions.  Float64 is
+required for GSL double-precision parity targets (1e-10 triangulated eval,
+1e-8 RBF weights — BASELINE.md).
+"""
+
+import os
+
+# Must run before jax import / backend init.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The env var alone is not honored under the axon TPU plugin; force it.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "expected 8 virtual CPU devices"
+    return Mesh(devs, ("dp",))
