@@ -1,1 +1,1 @@
-from . import errors, machine, rng, testing  # noqa: F401
+from . import datasets, errors, integrity, machine, rng, testing  # noqa: F401
