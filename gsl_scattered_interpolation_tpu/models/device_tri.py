@@ -1,0 +1,469 @@
+"""Frozen device triangulation + batched point location and evaluation.
+
+This is the TPU-native "forward pass" of the scattered engine: the query
+path the reference runs one point at a time through recursive history-DAG
+descent with per-node LU solves (``find_leaf``/``interp_point``,
+linear_simplex.c:331-402, 678-711) becomes a **lockstep batched visibility
+walk** over SoA arrays in HBM:
+
+* The triangulation is exported once into three flat device arrays —
+  standardized point coords ``points_std[P, d]``, simplex vertex ids
+  ``tri_verts[T, d+1]``, and face-neighbor ids ``tri_nbrs[T, d+1]`` (face k
+  is opposite vertex k; -1 = boundary).  Cage (seed) vertices occupy rows
+  0..d, data points follow in insertion order, so "is seed" is ``id <= d``
+  and the reference's negative-id convention (linear_simplex.h:82-93) is
+  not needed on device.
+* Point location walks from a start simplex toward the query: compute all
+  d+1 barycentric weights, and if any is negative step to the neighbor
+  across the most-violated face.  On a Delaunay triangulation this
+  visibility walk terminates; a step cap plus best-effort acceptance mirror
+  the reference's numerical-slop fallback (linear_simplex.c:398-400).
+  All queries advance in lockstep inside one ``lax.while_loop`` — no
+  recursion, no data-dependent shapes.
+* A uniform spatial **bucket grid** over the standardized data square
+  provides O(1) walk starts (the reference has no analog; its DAG descent
+  is O(log n) per query and serial).
+* Evaluation gathers vertex responses and dots them with the weights; cage
+  rows of the response vector are 0, reproducing the fade-to-zero boundary
+  (linear_simplex.c:697-706).  Out-of-cage queries evaluate to 0, fixing
+  the reference's ``assert(0)`` TODO (linear_simplex.c:344-347).
+
+Precision: in float64 this path matches the host oracle to <1e-11 on the
+weather benchmark (the 1e-10 GSL-parity target).  In float32 (the TPU fast
+path) values are good to ~5e-6 relative in the data region; on extremely
+thin slivers the walk may settle in an adjacent simplex whose weights agree
+within f32 noise, bounding the value error by (weight noise) x (response
+range).  Use ``DeviceTriangulation.cast`` to pick the trade-off.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+from ..utils import machine
+
+
+class DeviceTriangulation(NamedTuple):
+    """SoA triangulation ready for jit.
+
+    Both raw and standardized point coordinates are kept: the query path
+    forms edge vectors as ``scale*(a_raw - b_raw)`` (subtract-then-scale,
+    see ops.geometry.bary_coords_scaled) for cage-safe precision, while the
+    standardized copy serves circumsphere geometry and the bucket grid.
+    """
+
+    points_raw: jax.Array  # [P, d] float; rows 0..d are cage vertices
+    points_std: jax.Array  # [P, d] float, scale*(raw - shift)
+    tri_verts: jax.Array   # [T, d+1] int32
+    tri_nbrs: jax.Array    # [T, d+1] int32, -1 = boundary face
+    # Per-triangle affine weight maps, packed row-major as
+    # [A (d*d) | anchor (d) | w_anchor (d)] with
+    # coords(q) = A . (q - anchor) + w_anchor.  One row-gather per walk step
+    # replaces the reference's per-visited-node LU factorization
+    # (linear_simplex.c:616-639) — the bary weights of a FROZEN simplex are
+    # an affine function of the query, so all factorization work is done
+    # once at freeze time, batched.  The anchor is the smallest-magnitude
+    # vertex and w_anchor its exact one-hot weights: evaluating relative to
+    # a nearby anchor keeps float32 containment decisions accurate even on
+    # the huge cage slivers, where an absolute offset b = -A.v_cage (~1e3)
+    # would lose ~1e-4 to fp32 representation alone.
+    affine: jax.Array      # [T, d*d + 2*d]
+    shift: jax.Array       # [d]
+    scale: jax.Array       # [d]
+    # Walk-start bucket grid (2D only; size-1 placeholder otherwise).
+    grid_tri: jax.Array    # [G, G] int32: a simplex id near each cell
+    grid_res: int          # static
+
+    @property
+    def dim(self) -> int:
+        return self.points_std.shape[-1]
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_verts.shape[0]
+
+    def cast(self, dtype) -> "DeviceTriangulation":
+        """Cast float fields (e.g. to float32 for the TPU fast path)."""
+        return self._replace(
+            points_raw=self.points_raw.astype(dtype),
+            points_std=self.points_std.astype(dtype),
+            affine=self.affine.astype(dtype),
+            shift=self.shift.astype(dtype),
+            scale=self.scale.astype(dtype),
+        )
+
+
+def _inv(M):
+    """Batched matrix inverse; closed-form adjugate for d<=3 (TPU-f64-safe,
+    no LAPACK), general solve otherwise.  Singular -> inf entries (caller
+    poisons them)."""
+    d = M.shape[-1]
+    if d == 1:
+        return 1.0 / M
+    if d == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, dd = M[..., 1, 0], M[..., 1, 1]
+        det = a * dd - b * c
+        adj = jnp.stack(
+            [
+                jnp.stack([dd, -b], -1),
+                jnp.stack([-c, a], -1),
+            ],
+            -2,
+        )
+        return adj / jnp.where(det == 0, jnp.nan, det)[..., None, None]
+    if d == 3:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        e, f, g = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        h, i, j = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A = f * j - g * i
+        B = -(e * j - g * h)
+        C = e * i - f * h
+        det = a * A + b * B + c * C
+        adj = jnp.stack(
+            [
+                jnp.stack([A, -(b * j - c * i), b * g - c * f], -1),
+                jnp.stack([B, a * j - c * h, -(a * g - c * e)], -1),
+                jnp.stack([C, -(a * i - b * h), a * f - b * e], -1),
+            ],
+            -2,
+        )
+        return adj / jnp.where(det == 0, jnp.nan, det)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=M.dtype), M.shape)
+    return jnp.linalg.solve(M, eye)
+
+
+def affine_maps(points_raw, tri_verts, scale, shift=None):
+    """Batched per-triangle affine barycentric maps, [T, d*d+2d].
+
+    coords = M^{-1} S (q - v_d) with M the scaled-edge matrix
+    (ops.geometry.bary_coords_scaled) and S=diag(scale), rewritten around
+    the smallest-magnitude vertex ``anchor`` as
+    ``coords(q) = A (q - anchor) + w_anchor`` with A = M^{-1} S and
+    w_anchor the anchor's exact one-hot weights.  Degenerate simplexes get
+    a poison map (w_anchor = -1e30) so the walk never reports them as
+    containing.
+    """
+    verts = points_raw[tri_verts]  # [T, d+1, d]
+    d = verts.shape[-1]
+    origin = verts[:, d, :]
+    M = jnp.swapaxes((verts[:, :d, :] - origin[:, None, :]) * scale, -1, -2)
+    Minv = _inv(M)  # closed-form for d<=3: works in f64 on TPU too
+    A = Minv * scale  # right-multiply by diag(scale)
+    ok = jnp.all(jnp.isfinite(A), axis=(-2, -1))
+    A = jnp.where(ok[:, None, None], A, 0.0)
+    # Anchor at the vertex closest to the (shifted) data region.
+    center = shift if shift is not None else jnp.zeros(d, verts.dtype)
+    mag = jnp.sum((verts - center) ** 2, axis=-1)  # [T, d+1]
+    j = jnp.argmin(mag, axis=-1)  # [T]
+    anchor = jnp.take_along_axis(verts, j[:, None, None], axis=1)[:, 0, :]
+    w_anchor = (j[:, None] == jnp.arange(d)[None, :]).astype(verts.dtype)
+    w_anchor = jnp.where(ok[:, None], w_anchor, -1e30)
+    return jnp.concatenate(
+        [A.reshape(A.shape[0], d * d), anchor, w_anchor], axis=-1
+    )
+
+
+def _bucket_grid(points_std, tri_verts, grid_res: int) -> np.ndarray:
+    """Map each cell of the standardized data square to a nearby simplex.
+
+    Cells are seeded with the simplex whose centroid falls there, then
+    empty cells are filled by nearest-seeded-cell (host-side BFS dilation;
+    this runs once at freeze time).
+    """
+    centroids = points_std[tri_verts].mean(axis=1)  # [T, d]
+    g = np.full((grid_res,) * centroids.shape[1], -1, dtype=np.int32)
+    # Standardized data lives in [-0.5, 0.5]^d; clamp cage-reaching
+    # centroids onto the boundary cells.
+    cells = np.clip(
+        ((centroids + 0.5) * grid_res).astype(np.int64), 0, grid_res - 1
+    )
+    g[tuple(cells.T)] = np.arange(centroids.shape[0], dtype=np.int32)
+    # Dilate until full.
+    while (g < 0).any():
+        newg = g.copy()
+        for ax in range(g.ndim):
+            for shift in (1, -1):
+                cand = np.roll(g, shift, axis=ax)
+                # roll wraps; suppress wrapped edge
+                sl = [slice(None)] * g.ndim
+                sl[ax] = 0 if shift == 1 else -1
+                cand[tuple(sl)] = -1
+                newg = np.where(newg < 0, cand, newg)
+        if (newg == g).all():
+            # no seeded cell at all (degenerate); point at simplex 0
+            newg[newg < 0] = 0
+        g = newg
+    return g
+
+
+def freeze(tree, grid_res: int = 64) -> DeviceTriangulation:
+    """Export a host SimplexTree's current leaves to device arrays.
+
+    Point ids are remapped: seed -(k+1) -> k, data id i -> d+1+i (insertion
+    order).  Use :func:`reindex_response` to map a user response vector to
+    this layout.
+    """
+    d = tree.dim
+    leaves = tree.leaves()
+    leaf_of = {node: i for i, node in enumerate(leaves)}
+
+    def pid_map(p):
+        return -p - 1 if p < 0 else d + 1 + p
+
+    P = d + 1 + tree.n_points
+    raw = np.zeros((P, d))
+    raw[: d + 1] = tree.seed_points
+    for i in range(tree.n_points):
+        raw[d + 1 + i] = tree.point_coords(i)
+    pts = tree.scale * (raw - tree.shift)
+
+    T = len(leaves)
+    tv = np.zeros((T, d + 1), dtype=np.int32)
+    tn = np.full((T, d + 1), -1, dtype=np.int32)
+    for i, node in enumerate(leaves):
+        tv[i] = [pid_map(int(p)) for p in tree.tri_points[node]]
+        for k in range(d + 1):
+            nbr = int(tree.tri_links[node, k])
+            if nbr != 0:
+                tn[i, k] = leaf_of[nbr]
+
+    if d == 2:
+        grid = _bucket_grid(pts, tv, grid_res)
+    else:
+        grid = np.zeros((1, 1), dtype=np.int32)
+        grid_res = 1
+    return DeviceTriangulation(
+        points_raw=jnp.asarray(raw),
+        points_std=jnp.asarray(pts),
+        tri_verts=jnp.asarray(tv),
+        tri_nbrs=jnp.asarray(tn),
+        affine=affine_maps(
+            jnp.asarray(raw),
+            jnp.asarray(tv),
+            jnp.asarray(tree.scale),
+            shift=jnp.asarray(tree.shift),
+        ),
+        shift=jnp.asarray(tree.shift),
+        scale=jnp.asarray(tree.scale),
+        grid_tri=jnp.asarray(grid),
+        grid_res=grid_res,
+    )
+
+
+def reindex_response(tree, response) -> jax.Array:
+    """User response vector -> device layout [P], cage rows zero.
+
+    Applies the insertion shuffle (linear_simplex.c:699-707): device data
+    row i corresponds to user row ``shuffle[i]``.
+    """
+    d = tree.dim
+    response = np.asarray(response, dtype=np.float64)
+    out = np.zeros(d + 1 + tree.n_points, dtype=response.dtype)
+    out[d + 1 :] = response[tree.shuffle[: tree.n_points]]
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched point location (visibility walk)
+# ---------------------------------------------------------------------------
+
+
+def _weights(tri: DeviceTriangulation, cur, q_raw):
+    """Full d+1 barycentric weights via the per-triangle affine maps."""
+    d = tri.dim
+    row = tri.affine[cur]  # [B, d*d+2d] — single row-gather
+    A = row[..., : d * d].reshape(*row.shape[:-1], d, d)
+    anchor = row[..., d * d : d * d + d]
+    w0 = row[..., d * d + d :]
+    coords = (
+        jnp.einsum("...ij,...j->...i", A, q_raw - anchor) + w0
+    )
+    w = jnp.concatenate(
+        [coords, 1.0 - jnp.sum(coords, axis=-1, keepdims=True)], axis=-1
+    )
+    return w
+
+
+def locate(
+    tri: DeviceTriangulation,
+    q_raw,
+    start=None,
+    max_steps: int = 128,
+    tol: float | None = None,
+):
+    """Batched visibility-walk point location.
+
+    Args:
+      q_raw: [B, d] raw query coords.
+      start: [B] start simplex ids; defaults to the bucket-grid hint.
+      max_steps: lockstep iteration cap (best-effort accept after).
+      tol: containment slack on the barycentric weights.  Default is a few
+        ulps of the compute dtype; 0.0 would reproduce the reference's
+        exact containment test (linear_simplex.c:665-675) but lets
+        boundary-straddling queries oscillate between two simplexes in
+        float32.  A 2-cycle detector additionally terminates any query
+        that revisits its previous simplex (both simplexes then contain
+        the query to within fp noise; either answer is correct).
+
+    Returns:
+      (leaf [B] int32, weights [B, d+1], in_domain [B] bool).  A query that
+      walks off a boundary face (outside the cage) reports in_domain=False
+      with its last simplex.
+    """
+    B = q_raw.shape[0]
+    if tol is None:
+        tol = 16.0 * machine.eps(q_raw.dtype)
+    if start is None:
+        start = walk_start(tri, q_raw)
+    cur = jnp.asarray(start, jnp.int32)
+    prev = jnp.full(B, -1, jnp.int32)
+    done = jnp.zeros(B, bool)
+    outside = jnp.zeros(B, bool)
+
+    def cond(state):
+        cur, prev, done, outside, steps = state
+        return jnp.logical_and(steps < max_steps, ~jnp.all(done))
+
+    def body(state):
+        cur, prev, done, outside, steps = state
+        w = _weights(tri, cur, q_raw)
+        worst = jnp.argmin(w, axis=-1)  # most-violated face
+        inside = jnp.all(w >= -tol, axis=-1)
+        nbr = jnp.take_along_axis(
+            tri.tri_nbrs[cur], worst[:, None], axis=-1
+        )[:, 0]
+        hit_boundary = (nbr < 0) & ~inside
+        cycling = (nbr == prev) & ~inside  # 2-cycle: accept current
+        newly_done = inside | hit_boundary | cycling
+        step_to = jnp.where(nbr < 0, cur, nbr)
+        advance = ~(done | newly_done)
+        new_cur = jnp.where(advance, step_to, cur)
+        new_prev = jnp.where(advance, cur, prev)
+        return (
+            new_cur,
+            new_prev,
+            done | newly_done,
+            outside | (hit_boundary & ~done),
+            steps + 1,
+        )
+
+    cur, prev, done, outside, _ = jax.lax.while_loop(
+        cond, body, (cur, prev, done, outside, jnp.int32(0))
+    )
+    w = _weights(tri, cur, q_raw)
+    return cur, w, ~outside
+
+
+def locate_dense(tri: DeviceTriangulation, q_raw, block: int = 65536):
+    """MXU brute-force point location: score ALL simplexes per query.
+
+    The affine maps make every simplex's weights a linear function of q, so
+    all T*(d+1) weights come from ONE matmul ``[B,d] @ [d, T*(d+1)]`` plus
+    bias — no gathers, no walk, pure MXU work.  The selected simplex is the
+    one whose minimum weight is largest, which degrades gracefully to the
+    reference's global best-worst-violation fallback
+    (linear_simplex.c:363-400) when fp noise leaves no simplex strictly
+    containing the query.  Preferred for T up to ~16k simplexes; beyond
+    that the bandwidth of streaming all maps per query block loses to
+    :func:`locate` (the walk).
+
+    Returns (leaf [B], weights [B, d+1], in_domain [B]).
+    """
+    d = tri.dim
+    T = tri.n_tris
+    A = tri.affine[:, : d * d].reshape(T, d, d)
+    anchor = tri.affine[:, d * d : d * d + d]
+    w0 = tri.affine[:, d * d + d :]
+    # W[b, t, i] = A[t] @ (q_b - anchor[t]) + w0[t].  Center queries at the
+    # data center (tri.shift) so the matmul operands stay O(data range) —
+    # fp32 scores would otherwise lose ~|A|*|q|*eps, flipping the argmax.
+    #   W = (q - c0) . A[t].T + (w0[t] + A[t] @ (c0 - anchor[t]))
+    c0 = tri.shift
+    G2 = jnp.transpose(jnp.swapaxes(A, -1, -2), (1, 0, 2)).reshape(d, T * d)
+    bias = (
+        w0 + jnp.einsum("tij,tj->ti", A, c0 - anchor)
+    ).reshape(T * d)
+
+    def score(qb):
+        # precision=HIGHEST: the TPU MXU would otherwise run f32 matmuls as
+        # single-pass bf16 (eps ~ 8e-3), scrambling the argmax.
+        prod = jnp.matmul(qb - c0, G2, precision=jax.lax.Precision.HIGHEST)
+        Wc = (prod + bias).reshape(qb.shape[0], T, d)  # [b, T, d]
+        Wlast = 1.0 - jnp.sum(Wc, axis=-1, keepdims=True)
+        minw = jnp.minimum(jnp.min(Wc, axis=-1), Wlast[..., 0])  # [b, T]
+        best = jnp.argmax(minw, axis=-1).astype(jnp.int32)
+        return best
+
+    B = q_raw.shape[0]
+    if B <= block:
+        best = score(q_raw)
+    else:
+        pad = (-B) % block
+        qp = jnp.concatenate([q_raw, jnp.zeros((pad, d), q_raw.dtype)])
+        best = jax.lax.map(
+            score, qp.reshape(-1, block, d)
+        ).reshape(-1)[:B]
+    # Exact (anchored) weights of the winner; accept within a
+    # conditioning-aware slack — weights carry ~eps*kappa noise, so sqrt(eps)
+    # accepts everything decided correctly up to kappa ~ 1/sqrt(eps).
+    w = _weights(tri, best, q_raw)
+    tol = 4.0 * machine.sqrt_eps(q_raw.dtype)
+    in_domain = jnp.all(w >= -jnp.asarray(tol, w.dtype), axis=-1)
+    return best, w, in_domain
+
+
+def walk_start(tri: DeviceTriangulation, q_raw):
+    """Bucket-grid walk-start hint (2D); simplex 0 otherwise."""
+    if tri.grid_res <= 1 or tri.dim != 2:
+        return jnp.zeros(q_raw.shape[0], jnp.int32)
+    q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
+    cell = jnp.clip(
+        ((q_std + 0.5) * tri.grid_res).astype(jnp.int32),
+        0,
+        tri.grid_res - 1,
+    )
+    return tri.grid_tri[cell[:, 0], cell[:, 1]]
+
+
+# ---------------------------------------------------------------------------
+# Batched evaluation
+# ---------------------------------------------------------------------------
+
+
+# Below this many simplexes, MXU brute force beats the gather-bound walk.
+DENSE_LOCATE_MAX_TRIS = 16384
+
+
+def interp(
+    tri: DeviceTriangulation,
+    response_ext,
+    q_raw,
+    max_steps: int = 256,
+    method: str = "auto",
+):
+    """Barycentric interpolation at raw query points, batched.
+
+    The device analog of find_leaf + interp_point
+    (linear_simplex.c:331-402, 678-711): responses at cage rows are zero
+    (see :func:`reindex_response`), giving the reference's fade-to-zero
+    behavior near/outside the data hull; out-of-cage queries return 0.
+
+    method: "auto" picks MXU brute force (:func:`locate_dense`) for small
+    triangulations and the visibility walk (:func:`locate`) for large ones;
+    "dense"/"walk" force a path.
+    """
+    if method == "auto":
+        method = "dense" if tri.n_tris <= DENSE_LOCATE_MAX_TRIS else "walk"
+    if method == "dense":
+        leaf, w, in_domain = locate_dense(tri, q_raw)
+    else:
+        leaf, w, in_domain = locate(tri, q_raw, max_steps=max_steps)
+    vals = response_ext[tri.tri_verts[leaf]]  # [B, d+1]
+    out = jnp.sum(w * vals, axis=-1)
+    return jnp.where(in_domain, out, 0.0)

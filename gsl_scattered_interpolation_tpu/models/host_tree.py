@@ -222,12 +222,23 @@ class SimplexTree:
     # -- point location (linear_simplex.c:331-402) -------------------------
 
     def _bary(self, node: int, q_raw: np.ndarray):
-        """Bary coords of raw query in node, reference column convention."""
+        """Bary coords of raw query in node.
+
+        Column convention matches the reference (linear_simplex.c:614-649),
+        but edge vectors are formed as ``scale*(a_raw - b_raw)`` (raw
+        difference, then scale) rather than the reference's
+        ``std(a) - std(b)``: subtracting first avoids catastrophic
+        cancellation on the huge cage-vertex coordinates (~1e13 relative
+        improvement on cage-adjacent simplexes), while agreeing with the
+        reference well inside the 1e-10 parity target.
+        """
         d = self.dim
         pts = self.tri_points[node]
-        vs = np.stack([self.point_std(p) for p in pts])
-        M = (vs[:d] - vs[d]).T
-        rhs = self.scale * (q_raw - self.point_coords(pts[d]))
+        origin = self.point_coords(pts[d])
+        M = np.stack(
+            [self.scale * (self.point_coords(p) - origin) for p in pts[:d]]
+        ).T
+        rhs = self.scale * (q_raw - origin)
         try:
             coords = np.linalg.solve(M, rhs)
             ok = np.all(np.isfinite(coords))

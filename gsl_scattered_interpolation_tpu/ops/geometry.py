@@ -133,6 +133,30 @@ def bary_coords(verts_std, q_std):
     return coords, ok
 
 
+def bary_coords_scaled(verts_raw, q_raw, scale):
+    """Barycentric coordinates from RAW vertex/query coords, per-axis scaled.
+
+    Edge vectors are ``scale * (a_raw - b_raw)`` — subtract first, then
+    scale.  This is numerically superior to differencing standardized
+    coordinates when vertices include the huge cage points, and is the
+    formula used by both the host oracle and the device query path (see
+    host_tree.SimplexTree._bary for the parity argument; reference formula
+    at linear_simplex.c:614-649).
+    """
+    d = verts_raw.shape[-1]
+    origin = verts_raw[..., d, :]
+    edges = (verts_raw[..., :d, :] - origin[..., None, :]) * scale
+    M = jnp.swapaxes(edges, -1, -2)
+    rhs = (q_raw - origin) * scale
+    if d == 2:
+        return _solve2(M, rhs)
+    if d == 3:
+        return _solve3(M, rhs)
+    coords = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    ok = jnp.all(jnp.isfinite(coords), axis=-1)
+    return jnp.where(ok[..., None], coords, 0.0), ok
+
+
 def _solve2(M, rhs):
     """Closed-form 2x2 solve (Cramer), batched — the d=2 hot path."""
     a, b = M[..., 0, 0], M[..., 0, 1]

@@ -1,0 +1,154 @@
+"""Device query path vs the host oracle and scipy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.interpolate import griddata
+
+from gsl_scattered_interpolation_tpu.models import device_tri as dt
+from gsl_scattered_interpolation_tpu.models import host_tree as ht
+from gsl_scattered_interpolation_tpu.utils import datasets
+
+
+@pytest.fixture(scope="module")
+def weather_pair():
+    sites, temps = datasets.weather()
+    tree = ht.build(sites, key=0)
+    tri = dt.freeze(tree)
+    resp = dt.reindex_response(tree, temps)
+    return sites, temps, tree, tri, resp
+
+
+class TestFreeze:
+    def test_layout(self, weather_pair):
+        sites, temps, tree, tri, resp = weather_pair
+        assert tri.points_std.shape == (3 + 50, 2)
+        assert tri.tri_verts.shape == tri.tri_nbrs.shape
+        assert tri.tri_verts.shape[0] == len(tree.leaves())
+        # Cage rows of the response are zero (fade-to-zero boundary).
+        assert np.all(np.asarray(resp[:3]) == 0)
+        # Neighbor symmetry: if t lists u, u lists t.
+        tn = np.asarray(tri.tri_nbrs)
+        T = tn.shape[0]
+        for t in range(T):
+            for u in tn[t]:
+                if u >= 0:
+                    assert t in tn[u]
+
+    def test_grid_full(self, weather_pair):
+        *_, tri, _ = weather_pair
+        g = np.asarray(tri.grid_tri)
+        assert g.shape == (64, 64)
+        assert (g >= 0).all() and (g < tri.n_tris).all()
+
+
+class TestLocate:
+    def test_matches_host_find_leaf(self, weather_pair):
+        sites, temps, tree, tri, resp = weather_pair
+        rng = np.random.default_rng(0)
+        Q = rng.uniform([-89.6, 41.0], [-86.4, 43.1], size=(200, 2))
+        leaf, w, ok = dt.locate(tri, jnp.asarray(Q))
+        leaf = np.asarray(leaf)
+        assert np.asarray(ok).all()
+        # The located simplex must actually contain the query (weights >= -tiny).
+        assert np.asarray(w).min() > -1e-9
+        # And the vertex set must match the host DAG's answer.
+        leaves = tree.leaves()
+        for i, q in enumerate(Q):
+            host_leaf = tree.find_leaf(q)
+            host_verts = {
+                (-p - 1) if p < 0 else 2 + 1 + p
+                for p in tree.tri_points[host_leaf]
+            }
+            dev_verts = set(np.asarray(tri.tri_verts[leaf[i]]).tolist())
+            assert host_verts == dev_verts, (i, q)
+
+    def test_walk_from_worst_start(self, weather_pair):
+        # Walk must succeed from an arbitrary (non-hinted) start.
+        *_, tree, tri, resp = weather_pair
+        q = jnp.asarray([[-88.0, 42.0]])
+        for start in range(0, int(tri.n_tris), 7):
+            leaf, w, ok = dt.locate(
+                tri, q, start=jnp.asarray([start], jnp.int32)
+            )
+            assert float(jnp.min(w)) > -1e-9
+
+
+class TestInterp:
+    def test_matches_host_oracle(self, weather_pair):
+        sites, temps, tree, tri, resp = weather_pair
+        rng = np.random.default_rng(1)
+        Q = rng.uniform([-89.6, 41.0], [-86.4, 43.1], size=(500, 2))
+        ours = np.asarray(dt.interp(tri, resp, jnp.asarray(Q)))
+        expect = np.array([tree.interp(temps, q) for q in Q])
+        leaf, w, ok = dt.locate(tri, jnp.asarray(Q))
+        all_data = np.asarray(tri.tri_verts[leaf] > 2).all(axis=1)
+        # 1e-10 parity holds on data-region simplexes; simplexes touching
+        # the cage are huge slivers where LAPACK-LU (host) vs Cramer
+        # (device) legitimately differ at ~1e-12 relative on the weights.
+        np.testing.assert_allclose(
+            ours[all_data], expect[all_data], rtol=0, atol=1e-10
+        )
+        np.testing.assert_allclose(ours, expect, rtol=0, atol=1e-8)
+
+    def test_matches_scipy_inside_hull(self, weather_pair):
+        sites, temps, tree, tri, resp = weather_pair
+        rng = np.random.default_rng(2)
+        Q = rng.uniform([-88.9, 41.3], [-87.1, 42.9], size=(300, 2))
+        # The default build standardizes per-axis (linear_simplex.c:187-198),
+        # so its Delaunay is of the SCALED sites; the oracle must see the
+        # same geometry.
+        ref = griddata(
+            (sites - tree.shift) * tree.scale,
+            temps,
+            (Q - tree.shift) * tree.scale,
+            method="linear",
+        )
+        ours = np.asarray(dt.interp(tri, resp, jnp.asarray(Q)))
+        leaf, w, ok = dt.locate(tri, jnp.asarray(Q))
+        leaf = np.asarray(leaf)
+        all_data = np.asarray(tri.tri_verts[leaf] > 2).all(axis=1)
+        # Exclude near-cocircular ties: the weather data contains a quad
+        # cocircular to ~5e-16 relative, where our tie-break (matching the
+        # reference, linear_simplex.c:535-536) and Qhull's exact predicates
+        # legitimately pick different diagonals.
+        pts_std = np.stack([tree.point_std(i) for i in range(tree.n_points)])
+        robust = np.ones(len(Q), bool)
+        for i in np.unique(leaf):
+            node = tree.leaves()[i]
+            c, r2 = tree._circumsphere_pts(tree.tri_points[node])
+            if c is None:
+                robust[leaf == i] = False
+                continue
+            slack = (np.sum((pts_std - c) ** 2, axis=1) - r2) / r2
+            own = [p for p in tree.tri_points[node] if p >= 0]
+            slack[own] = np.inf  # the simplex's own vertices sit on the sphere
+            if slack.min() < 1e-9:
+                robust[leaf == i] = False
+        mask = all_data & robust & ~np.isnan(ref)
+        assert mask.sum() > 100
+        np.testing.assert_allclose(ours[mask], ref[mask], atol=1e-8)
+
+    def test_out_of_cage_zero(self, weather_pair):
+        *_, tri, resp = weather_pair
+        out = dt.interp(tri, resp, jnp.asarray([[1e7, 1e7]]))
+        assert float(out[0]) == 0.0
+
+    def test_jit_and_3d(self):
+        rng = np.random.default_rng(3)
+        sites = rng.uniform(-0.5, 0.5, size=(40, 3))
+        vals = rng.normal(size=40)
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        tri = dt.freeze(tree)
+        resp = dt.reindex_response(tree, vals)
+        f = jax.jit(lambda q: dt.interp(tri, resp, q))
+        Q = rng.uniform(-0.4, 0.4, size=(100, 3))
+        ours = np.asarray(f(jnp.asarray(Q)))
+        expect = np.array([tree.interp(vals, q) for q in Q])
+        np.testing.assert_allclose(ours, expect, atol=1e-9)
+
+    def test_reproduces_sites(self, weather_pair):
+        sites, temps, tree, tri, resp = weather_pair
+        ours = np.asarray(dt.interp(tri, resp, jnp.asarray(sites)))
+        np.testing.assert_allclose(ours, temps, atol=1e-7)
