@@ -1,0 +1,420 @@
+"""TPU-native 2D Delaunay build: batched insertion rounds + parallel flips.
+
+The reference builds its triangulation one point at a time — locate, split
+1->3, then a recursive flip cascade (linear_simplex.c:283-293, 404-492;
+edge_flip.c:211-320) — an inherently serial CPU algorithm.  This module is
+the TPU-first redesign: the whole build is ONE jit-compiled program over
+fixed-capacity SoA arrays, processing sites in **parallel rounds** in the
+spirit of GPU Delaunay builders (cf. gDel2D), but expressed as XLA
+scatters/gathers instead of CUDA kernels:
+
+  round:
+    1. every empty leaf claims the lowest-id uninserted site it contains
+       (segment-min scatter) — up to #leaves simultaneous insertions;
+    2. all claimed leaves split 1->3 in one shot (parent slot becomes one
+       child, two fresh slots); neighbor back-pointers are repaired by a
+       GATHER pass (each triangle re-resolves stale neighbor ids against
+       the split table) — no write conflicts by construction;
+    3. uninserted sites whose leaf split re-locate among its 3 children
+       (max-min-weight, the reference's best-worst fallback semantics,
+       linear_simplex.c:363-400);
+    4. parallel flip sub-rounds until the empty-circumcircle property
+       holds: every violating shared edge becomes a candidate; a
+       mutual-minimum matching picks a conflict-free independent set
+       (a 2-cycle of the "pick smallest partner" map always exists, so
+       progress is guaranteed); matched pairs rewrite themselves in place,
+       stale neighbor ids are gather-repaired, and straddling sites
+       re-locate between the two rewritten triangles.
+
+Numerics follow the reference: the in-circumcircle test runs in
+standardized coordinates with the ``r^2 (1 - 10 eps)`` tie-break
+(linear_simplex.c:535-536, dtype-parameterized), degenerate circumcircles
+count as violated (:517-521), and a flip additionally requires the quad to
+be strictly convex — the 2D specialization of the reference's Gram-Schmidt
+``flippable`` test (edge_flip.c:39-95).  In 2D this flip repertoire is
+complete, so the result is a true Delaunay triangulation (unlike in 3D,
+see host_tree docstring; higher dimensions use the host cavity engine).
+
+Point ids: 0..2 are the cage vertices, 3..N+2 the sites in the caller's
+(pre-shuffled) order — matching the device_tri layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+from ..utils import machine
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+class BuildState(NamedTuple):
+    tri_v: jax.Array     # [M, 3] int32 vertex ids (-1 rows = unallocated)
+    tri_n: jax.Array     # [M, 3] int32 neighbor ids, -1 = boundary
+    n_tris: jax.Array    # scalar int32: allocated slots
+    site_tri: jax.Array  # [N] int32: containing leaf per site; -1 = inserted
+    n_left: jax.Array    # scalar int32: uninserted site count
+
+
+def _min_weight(pts, tri_v, tris, q):
+    """Min barycentric weight of points q in triangles `tris` (std coords)."""
+    verts = pts[tri_v[tris]]  # [..., 3, 2]
+    coords, ok = geometry.bary_coords(verts, q)
+    w_last = 1.0 - jnp.sum(coords, axis=-1)
+    minw = jnp.minimum(jnp.min(coords, axis=-1), w_last)
+    return jnp.where(ok, minw, -jnp.inf)
+
+
+def _circumcircles(pts, tri_v):
+    """Centers/r2 of all triangle slots; degenerate -> ok False."""
+    verts = pts[tri_v]
+    return geometry.circumsphere(verts)
+
+
+def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
+    """Build the Delaunay triangulation of cage+sites on device.
+
+    Args:
+      sites_std: [N, 2] standardized site coords, insertion-shuffled.
+      cage_std: [3, 2] standardized cage vertices.
+
+    Returns:
+      (tri_v [M,3], tri_n [M,3], alive [M], n_tris) with M = 2N+3 slots;
+      `alive` marks current leaves.  Ids: 0..2 cage, 3.. sites.
+    """
+    N = sites_std.shape[0]
+    M = 2 * N + 3
+    dtype = sites_std.dtype
+    pts = jnp.concatenate([cage_std.astype(dtype), sites_std])  # [N+3, 2]
+    eps = machine.eps(dtype)
+
+    tri_v = jnp.full((M, 3), -1, jnp.int32).at[0].set(
+        jnp.arange(3, dtype=jnp.int32)
+    )
+    tri_n = jnp.full((M, 3), -1, jnp.int32)
+    state = BuildState(
+        tri_v=tri_v,
+        tri_n=tri_n,
+        n_tris=jnp.int32(1),
+        site_tri=jnp.zeros(N, jnp.int32),
+        n_left=jnp.int32(N),
+    )
+    site_ids = jnp.arange(N, dtype=jnp.int32)
+
+    # ---------------- split phase ----------------
+
+    def split_round(st: BuildState) -> BuildState:
+        tri_v, tri_n, n_tris, site_tri, n_left = st
+        # 1. Each leaf claims its lowest-id uninserted site.
+        tgt = jnp.where(site_tri >= 0, site_tri, M)  # dead sites -> dummy
+        claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
+        has = claim != INT_MAX  # [M] triangles splitting this round
+        # 2. Allocate child slots by prefix rank.
+        rank = jnp.cumsum(has.astype(jnp.int32)) - 1  # [M]
+        cA = jnp.where(has, n_tris + 2 * rank, -1).astype(jnp.int32)
+        cB = jnp.where(has, n_tris + 2 * rank + 1, -1).astype(jnp.int32)
+        n_new = jnp.sum(has.astype(jnp.int32))
+
+        parents = jnp.nonzero(has, size=M, fill_value=M)[0]  # padded
+        pmask = parents < M
+        p = jnp.where(pmask, parents, 0)
+        s_pid = (claim[p] + 3).astype(jnp.int32)  # point id of claimed site
+        v0, v1, v2 = tri_v[p, 0], tri_v[p, 1], tri_v[p, 2]
+        n0, n1, n2 = tri_n[p, 0], tri_n[p, 1], tri_n[p, 2]
+        ca, cb = cA[p], cB[p]
+
+        def scat(arr, rows, vals):
+            rows = jnp.where(pmask, rows, M + 1)  # drop pads
+            return arr.at[rows].set(vals, mode="drop")
+
+        # Child in parent slot keeps face 0 (old n0); cA gets n1; cB gets n2.
+        tri_v = scat(tri_v, p, jnp.stack([s_pid, v1, v2], -1))
+        tri_n = scat(tri_n, p, jnp.stack([n0, ca, cb], -1))
+        tri_v = scat(tri_v, ca, jnp.stack([s_pid, v2, v0], -1))
+        tri_n = scat(tri_n, ca, jnp.stack([n1, cb, p.astype(jnp.int32)], -1))
+        tri_v = scat(tri_v, cb, jnp.stack([s_pid, v0, v1], -1))
+        tri_n = scat(tri_n, cb, jnp.stack([n2, p.astype(jnp.int32), ca], -1))
+        n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
+
+        # 3. Gather-repair stale neighbor pointers: if my neighbor split,
+        # its face owner is now whichever of (parent, cA, cB) holds both of
+        # my shared-face vertices.
+        tri_n = _repair_after_split(tri_v, tri_n, has, cA, cB, n_tris)
+
+        # 4. Re-locate uninserted sites whose leaf split; retire claimed.
+        t_of = jnp.where(site_tri >= 0, site_tri, 0)
+        needs = (site_tri >= 0) & has[t_of]
+        cand = jnp.stack(
+            [t_of, cA[t_of], cB[t_of]], -1
+        )  # [N, 3] candidate children
+        q = pts[site_ids + 3]
+        minw = _min_weight(pts, tri_v, cand, q[:, None, :])  # [N, 3]
+        best = jnp.argmax(minw, axis=-1)
+        new_tri = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        site_tri = jnp.where(needs, new_tri, site_tri)
+        claimed = (site_tri >= 0) & (claim[t_of] == site_ids) & has[t_of]
+        site_tri = jnp.where(claimed, -1, site_tri)
+        n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
+        return BuildState(tri_v, tri_n, n_tris, site_tri, n_left)
+
+    # ---------------- flip phase ----------------
+
+    def flip_round(carry):
+        tri_v, tri_n, n_tris, site_tri, _changed = carry
+        alive = tri_v[:, 0] >= 0
+        center, r2, cok = _circumcircles(pts, jnp.where(alive[:, None], tri_v, 0))
+
+        # Far vertex of each neighbor: the vertex at the slot whose
+        # neighbor-link points back at us.
+        def far_of(t_ids, u_ids):
+            back = tri_n[u_ids] == t_ids[:, None]  # [., 3]
+            slot = jnp.argmax(back, axis=-1)
+            return jnp.take_along_axis(tri_v[u_ids], slot[:, None], -1)[:, 0]
+
+        t_all = jnp.arange(M, dtype=jnp.int32)
+        viol_dir = jnp.zeros((M, 3), bool)
+        convex_dir = jnp.zeros((M, 3), bool)
+        valid_dir = jnp.zeros((M, 3), bool)
+        for k in range(3):
+            u = tri_n[:, k]
+            valid = alive & (u >= 0)
+            uu = jnp.where(valid, u, 0)
+            far = far_of(t_all, uu)
+            fq = pts[far]
+            # in-circumcircle with reference tie-break; degenerate -> true.
+            d2 = jnp.sum((fq - center) ** 2, -1)
+            viol = jnp.where(cok, d2 < r2 * (1.0 - 10.0 * eps), True)
+            # convexity: segment (apex_t, far) must cross the shared edge.
+            apex = tri_v[:, k]
+            p1 = tri_v[:, (k + 1) % 3]
+            p2 = tri_v[:, (k + 2) % 3]
+            o1 = geometry.orient2d(pts[apex], fq, pts[p1])
+            o2 = geometry.orient2d(pts[apex], fq, pts[p2])
+            convex = o1 * o2 < 0
+            valid_dir = valid_dir.at[:, k].set(valid)
+            viol_dir = viol_dir.at[:, k].set(valid & viol)
+            convex_dir = convex_dir.at[:, k].set(convex)
+
+        # Symmetrize candidacy: an EDGE is a candidate if either direction
+        # sees a violation.  In-circle is symmetric in exact arithmetic, but
+        # a degenerate (zero-area) triangle reports "violated" against every
+        # neighbor (linear_simplex.c:517-521) while the reverse direction
+        # may not — one-directional candidates would break the
+        # mutual-matching progress guarantee and strand slivers.
+        cand_ok = jnp.zeros((M, 3), bool)
+        for k in range(3):
+            u = tri_n[:, k]
+            uu = jnp.where(u >= 0, u, 0)
+            j = jnp.argmax(tri_n[uu] == t_all[:, None], axis=-1)
+            rev = jnp.take_along_axis(viol_dir[uu], j[:, None], -1)[:, 0]
+            cand_ok = cand_ok.at[:, k].set(
+                valid_dir[:, k]
+                & convex_dir[:, k]
+                & (viol_dir[:, k] | rev)
+            )
+
+        # Mutual-minimum matching over candidate edges.
+        partner_cand = jnp.where(cand_ok, tri_n, INT_MAX)
+        pick = jnp.min(partner_cand, axis=-1)  # [M] best partner or INT_MAX
+        pick_ok = pick != INT_MAX
+        pick_safe = jnp.where(pick_ok, pick, 0)
+        mutual = pick_ok & (pick[pick_safe] == t_all) & (pick_safe != t_all)
+        # Execute each matched edge once, from the lower id.  Terminate on
+        # "no executed flips" (not "no candidates"): an fp-asymmetric
+        # candidate with no mutual partner must not spin the loop — the
+        # reference likewise leaves un-flippable violations in place
+        # (edge_flip.c:244-254).
+        do = mutual & (t_all < pick_safe)
+        any_flip = jnp.any(do)
+        u_ids = jnp.where(do, pick_safe, 0)
+        flip_partner = jnp.where(mutual, pick_safe, -1)  # for repair
+
+        # Slots: k in t facing u; j in u facing t.
+        k_slot = jnp.argmax(tri_n == u_ids[:, None], axis=-1)
+        j_slot = jnp.argmax(tri_n[u_ids] == t_all[:, None], axis=-1)
+        c = jnp.take_along_axis(tri_v, k_slot[:, None], -1)[:, 0]
+        e = jnp.take_along_axis(tri_v[u_ids], j_slot[:, None], -1)[:, 0]
+        # t's other verts/nbrs: p at k+1, q at k+2 (slot order).
+        pv = jnp.take_along_axis(tri_v, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+        qv = jnp.take_along_axis(tri_v, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+        Np = jnp.take_along_axis(tri_n, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+        Nq = jnp.take_along_axis(tri_n, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+        # u's neighbors across faces {e,q} and {e,p}: match by vertex value.
+        uv = tri_v[u_ids]  # [M, 3]
+        # slot of p in u / q in u:
+        p_in_u = jnp.argmax(uv == pv[:, None], axis=-1)
+        q_in_u = jnp.argmax(uv == qv[:, None], axis=-1)
+        Up = jnp.take_along_axis(tri_n[u_ids], p_in_u[:, None], -1)[:, 0]
+        Uq = jnp.take_along_axis(tri_n[u_ids], q_in_u[:, None], -1)[:, 0]
+
+        rows_t = jnp.where(do, t_all, M + 1)
+        rows_u = jnp.where(do, u_ids, M + 1)
+        new_tv = tri_v.at[rows_t].set(
+            jnp.stack([e, c, qv], -1), mode="drop"
+        ).at[rows_u].set(jnp.stack([e, c, pv], -1), mode="drop")
+        # T1=(e,c,q): slot0 opp e -> face {c,q} = old t's face opp p -> Np;
+        # slot1 opp c -> face {e,q} = old u's face opp p -> Up; slot2 -> u.
+        # T2=(e,c,p): slot0 -> Nq (t's face opp q); slot1 -> Uq; slot2 -> t.
+        new_tn = tri_n.at[rows_t].set(
+            jnp.stack([Np, Up, u_ids], -1), mode="drop"
+        ).at[rows_u].set(jnp.stack([Nq, Uq, t_all], -1), mode="drop")
+
+        # Gather-repair stale pointers into flipped triangles.
+        new_tn = _repair_after_flip(new_tv, new_tn, flip_partner)
+
+        # Re-locate sites straddling a flipped pair.
+        t_of = jnp.where(site_tri >= 0, site_tri, 0)
+        in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+        cand = jnp.stack([t_of, flip_partner[t_of]], -1)
+        q = pts[site_ids + 3]
+        minw = _min_weight(pts, new_tv, cand, q[:, None, :])
+        best = jnp.argmax(minw, axis=-1)
+        new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        site_tri = jnp.where(in_flipped, new_t, site_tri)
+
+        return (new_tv, new_tn, n_tris, site_tri, any_flip)
+
+    def flip_until_done(st: BuildState) -> BuildState:
+        def cond(c):
+            *_, changed, it = c
+            return jnp.logical_and(changed, it < max_flip_rounds)
+
+        def body(c):
+            tri_v, tri_n, n_tris, site_tri, _changed, it = c
+            out = flip_round((tri_v, tri_n, n_tris, site_tri, True))
+            return (*out, it + 1)
+
+        tri_v, tri_n, n_tris, site_tri, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (st.tri_v, st.tri_n, st.n_tris, st.site_tri, True, jnp.int32(0)),
+        )
+        return BuildState(tri_v, tri_n, n_tris, site_tri, st.n_left)
+
+    # ---------------- outer loop ----------------
+
+    def outer_cond(st: BuildState):
+        return st.n_left > 0
+
+    def outer_body(st: BuildState):
+        st = split_round(st)
+        st = flip_until_done(st)
+        return st
+
+    final = jax.lax.while_loop(outer_cond, outer_body, state)
+    alive = final.tri_v[:, 0] >= 0
+    return final.tri_v, final.tri_n, alive, final.n_tris
+
+
+def triangulate(
+    sites_raw,
+    lo=None,
+    hi=None,
+    flags: int = 0,
+    key=None,
+    dtype=jnp.float64,
+    grid_res: int = 256,
+):
+    """End-to-end device Delaunay: standardize, cage, shuffle, build, freeze.
+
+    The device analog of ``simplex_tree_init`` (linear_simplex.c:134-296)
+    for d=2, returning a query-ready DeviceTriangulation plus the shuffle
+    permutation (map user response rows via ``response[shuffle]`` and
+    prepend d+1 cage zeros — see device_tri.reindex_response semantics).
+    Flags are host_tree.DEFAULT / NOSTANDARDIZE / ISOSCALE
+    (linear_simplex.h:109-112).
+    """
+    from . import device_tri, host_tree
+    from ..utils import rng as rng_util
+
+    sites_raw = np.asarray(sites_raw, np.float64)
+    n, d = sites_raw.shape
+    if d != 2:
+        raise NotImplementedError(
+            "device build is 2D; use models.host_tree for general d"
+        )
+    if flags & host_tree.NOSTANDARDIZE:
+        lo_, hi_ = np.full(d, -0.5), np.full(d, 0.5)
+    else:
+        lo_ = np.asarray(lo, np.float64) if lo is not None else sites_raw.min(0)
+        hi_ = np.asarray(hi, np.float64) if hi is not None else sites_raw.max(0)
+    shift = (lo_ + hi_) / 2.0
+    ext = hi_ - lo_
+    scale = np.where(ext > 0, 1.0 / np.where(ext > 0, ext, 1.0), 1.0)
+    if (flags & host_tree.ISOSCALE) and not (flags & host_tree.NOSTANDARDIZE):
+        scale = np.full(d, scale.min())
+
+    shuffle = rng_util.insertion_shuffle(key, n)
+    sites_shuffled = sites_raw[shuffle]
+    cage_raw = geometry.cage_vertices(d, shift, scale, np.dtype(dtype).type)
+    sites_std = np.asarray(scale * (sites_shuffled - shift), np.float64)
+    cage_std = jnp.asarray(scale * (cage_raw - shift), dtype)
+
+    # Deterministic symbolic perturbation for the BUILD's predicates only:
+    # exactly-degenerate input (collinear runs, cocircular lattices) breaks
+    # the parallel flip schedule's tie handling, where the reference's
+    # sequential insertion leans on epsilon tie-breaks
+    # (linear_simplex.c:535-536, edge_flip.c:244-254).  Jittering by a few
+    # hundred ulps makes every predicate decision strict and consistent;
+    # the returned triangulation still stores the EXACT coordinates, so
+    # interpolation error from the jitter is O(1e-13) in float64.
+    jit_mag = 512.0 * machine.eps(dtype)
+    prng = np.random.default_rng(12345)
+    sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
+
+    tri_v, tri_n, alive, _ = jax.jit(build_2d)(
+        jnp.asarray(sites_build, dtype), cage_std
+    )
+    points_raw = np.concatenate([cage_raw, sites_shuffled])
+    tri = device_tri.from_arrays(
+        points_raw, shift, scale, tri_v, tri_n, alive, grid_res=grid_res
+    )
+    return tri, shuffle
+
+
+def _owner_of_face(tri_v, cands, a, b):
+    """Among candidate triangle ids [., C], the first containing verts a,b."""
+    cv = tri_v[cands]  # [., C, 3]
+    has_a = jnp.any(cv == a[:, None, None], axis=-1)
+    has_b = jnp.any(cv == b[:, None, None], axis=-1)
+    okc = has_a & has_b & (cands >= 0)
+    idx = jnp.argmax(okc, axis=-1)
+    found = jnp.any(okc, axis=-1)
+    owner = jnp.take_along_axis(cands, idx[:, None], -1)[:, 0]
+    return jnp.where(found, owner, cands[:, 0])
+
+
+def _repair_after_split(tri_v, tri_n, split_flag, cA, cB, n_tris):
+    """Re-resolve neighbor ids pointing at triangles that just split."""
+    M = tri_v.shape[0]
+    out = tri_n
+    for m in range(3):
+        n = tri_n[:, m]
+        stale = (n >= 0) & split_flag[jnp.where(n >= 0, n, 0)]
+        ns = jnp.where(stale, n, 0)
+        a = tri_v[:, (m + 1) % 3]
+        b = tri_v[:, (m + 2) % 3]
+        cands = jnp.stack([ns, cA[ns], cB[ns]], -1)
+        owner = _owner_of_face(tri_v, cands, a, b)
+        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    return out
+
+
+def _repair_after_flip(tri_v, tri_n, flip_partner):
+    """Re-resolve neighbor ids pointing at triangles that just flipped."""
+    out = tri_n
+    for m in range(3):
+        n = tri_n[:, m]
+        stale = (n >= 0) & (flip_partner[jnp.where(n >= 0, n, 0)] >= 0)
+        ns = jnp.where(stale, n, 0)
+        a = tri_v[:, (m + 1) % 3]
+        b = tri_v[:, (m + 2) % 3]
+        cands = jnp.stack([ns, flip_partner[ns]], -1)
+        owner = _owner_of_face(tri_v, cands, a, b)
+        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    return out

@@ -256,6 +256,58 @@ def freeze(tree, grid_res: int = 64) -> DeviceTriangulation:
     )
 
 
+def from_arrays(
+    points_raw: np.ndarray,
+    shift,
+    scale,
+    tri_v: np.ndarray,
+    tri_n: np.ndarray,
+    alive: np.ndarray,
+    grid_res: int = 256,
+) -> DeviceTriangulation:
+    """Assemble a DeviceTriangulation from build arrays (device build path).
+
+    Compacts to alive simplexes and remaps neighbor ids; computes affine
+    maps and the bucket grid.  ``points_raw`` rows 0..d are the cage.
+    """
+    points_raw = np.asarray(points_raw, np.float64)
+    tri_v = np.asarray(tri_v)
+    tri_n = np.asarray(tri_n)
+    alive = np.asarray(alive)
+    shift = np.asarray(shift, np.float64)
+    scale = np.asarray(scale, np.float64)
+    d = points_raw.shape[1]
+
+    keep = np.nonzero(alive)[0]
+    remap = np.full(tri_v.shape[0] + 1, -1, np.int32)
+    remap[keep] = np.arange(keep.size, dtype=np.int32)
+    tv = tri_v[keep].astype(np.int32)
+    tn = remap[np.where(tri_n[keep] >= 0, tri_n[keep], tri_v.shape[0])]
+
+    pts_std = scale * (points_raw - shift)
+    if d == 2:
+        grid = _bucket_grid(pts_std, tv, grid_res)
+    else:
+        grid = np.zeros((1, 1), dtype=np.int32)
+        grid_res = 1
+    return DeviceTriangulation(
+        points_raw=jnp.asarray(points_raw),
+        points_std=jnp.asarray(pts_std),
+        tri_verts=jnp.asarray(tv),
+        tri_nbrs=jnp.asarray(tn),
+        affine=affine_maps(
+            jnp.asarray(points_raw),
+            jnp.asarray(tv),
+            jnp.asarray(scale),
+            shift=jnp.asarray(shift),
+        ),
+        shift=jnp.asarray(shift),
+        scale=jnp.asarray(scale),
+        grid_tri=jnp.asarray(grid),
+        grid_res=grid_res,
+    )
+
+
 def reindex_response(tree, response) -> jax.Array:
     """User response vector -> device layout [P], cage rows zero.
 

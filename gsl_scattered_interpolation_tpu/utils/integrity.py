@@ -89,6 +89,60 @@ def check_delaunay(tree, dtype=np.float64) -> None:
         )
 
 
+def check_arrays(pts_std, tri_v, tri_n, n_data: int, dtype=np.float64):
+    """Integrity checks on compacted device arrays.
+
+    Same invariants as :func:`check_structure` + :func:`check_delaunay`,
+    vectorized over [T, d+1] vertex/neighbor arrays (-1 = boundary) and
+    points [P, d] (rows 0..d cage, then ``n_data`` data rows).
+    """
+    from ..ops import geometry
+    import jax.numpy as jnp
+
+    tri_v = np.asarray(tri_v)
+    tri_n = np.asarray(tri_n)
+    pts = np.asarray(pts_std)
+    T, k = tri_v.shape
+    d = k - 1
+    # No repeated vertex.
+    for i in range(k):
+        for j in range(i + 1, k):
+            assert (tri_v[:, i] != tri_v[:, j]).all(), "repeated vertex"
+    # Neighbor reciprocity + face-sharing.
+    for m in range(k):
+        n = tri_n[:, m]
+        has = n >= 0
+        ns = np.where(has, n, 0)
+        assert (n[has] != np.arange(T)[has]).all(), "self neighbor"
+        back = (tri_n[ns] == np.arange(T)[:, None]).sum(axis=1)
+        assert (back[has] == 1).all(), "reverse link missing/duplicated"
+        # Shared face: my verts minus slot m all appear in the neighbor.
+        mine = np.delete(tri_v, m, axis=1)  # [T, d]
+        shared = (
+            (mine[:, :, None] == tri_v[ns][:, None, :]).any(-1).all(-1)
+        )
+        assert shared[has].all(), "face vertices not shared with neighbor"
+        # My slot-m vertex is NOT in the neighbor.
+        in_nbr = (tri_v[:, m][:, None] == tri_v[ns]).any(-1)
+        assert (~in_nbr[has]).all(), "opposite vertex leaked into neighbor"
+    # Global empty-circumsphere (reference tolerance, integrity_check.c:155).
+    center, r2, ok = geometry.circumsphere(jnp.asarray(pts[tri_v]))
+    center = np.asarray(center)
+    r2 = np.asarray(r2)
+    ok = np.asarray(ok)
+    data = pts[d + 1 : d + 1 + n_data]
+    d2 = np.sum(
+        (data[:, None, :] - center[None, ok.nonzero()[0], :]) ** 2, axis=-1
+    )
+    good = d2 > r2[ok][None, :] * (1 - machine.sqrt_eps(dtype))
+    if not good.all():
+        bad = np.argwhere(~good)
+        raise AssertionError(
+            f"Delaunay violated on device arrays: {bad.shape[0]} pairs; "
+            f"first point {bad[0,0]} vs alive tri #{bad[0,1]}"
+        )
+
+
 def output_triangulation(
     tree,
     response=None,

@@ -1,0 +1,116 @@
+"""Device (batched-parallel) 2D Delaunay build vs host oracle and scipy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial import Delaunay as ScipyDelaunay
+
+from gsl_scattered_interpolation_tpu.models import (
+    device_delaunay as dd,
+    device_tri as dt,
+    host_tree as ht,
+)
+from gsl_scattered_interpolation_tpu.utils import datasets, integrity
+
+
+def _rand(n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.5, 0.5, size=(n, 2))
+
+
+def _alive_simplex_set(tri):
+    tv = np.asarray(tri.tri_verts)
+    return {tuple(sorted(r.tolist())) for r in tv}
+
+
+class TestBuild:
+    @pytest.mark.parametrize("n", [1, 2, 5, 30, 200, 1000])
+    def test_integrity(self, n):
+        sites = _rand(n, n)
+        tri, shuffle = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        assert tri.n_tris == 2 * n + 1  # Euler: cage triangle split n times
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+
+    def test_matches_host_cavity_engine(self):
+        # Delaunay uniqueness: same simplex set as the sequential host
+        # build on generic-position data, regardless of insertion schedule.
+        sites = _rand(300, 42)
+        tri, shuffle = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host_tri = dt.freeze(tree)
+        # Map device ids (cage 0..2, data 3+i in shuffle order) to user rows.
+        inv = {3 + i: int(shuffle[i]) + 3 for i in range(len(shuffle))}
+
+        def canon(tv):
+            return {
+                tuple(
+                    sorted(inv.get(int(v), int(v)) for v in row)
+                )
+                for row in np.asarray(tv)
+            }
+
+        dev = canon(tri.tri_verts)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(host_tri.tri_verts)
+        }
+        assert dev == host
+
+    def test_matches_scipy_interior(self):
+        sites = _rand(500, 7)
+        tri, shuffle = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        sd = ScipyDelaunay(sites)
+        scipy_set = {tuple(sorted(s)) for s in sd.simplices.tolist()}
+        ours = set()
+        for row in np.asarray(tri.tri_verts):
+            if (row > 2).all():
+                ours.add(tuple(sorted(int(shuffle[v - 3]) for v in row)))
+        assert ours <= scipy_set
+        assert len(ours) >= 0.8 * len(scipy_set)
+
+    def test_gridded_degenerate(self):
+        # 5x5 lattice: cocircular quads everywhere
+        # (scattered_interp_example.c:103-128 stress case).
+        side = 5
+        pts = np.stack(
+            np.meshgrid(np.arange(side), np.arange(side), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 2).astype(float)
+        tri, _ = dd.triangulate(pts)  # standardized
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=len(pts),
+        )
+
+    def test_weather_end_to_end(self):
+        sites, temps = datasets.weather()
+        tri, shuffle = dd.triangulate(sites, key=0)
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=50,
+        )
+        resp = jnp.concatenate(
+            [jnp.zeros(3), jnp.asarray(temps)[shuffle]]
+        )
+        # Interpolation at the sites reproduces the responses.
+        vals = np.asarray(dt.interp(tri, resp, jnp.asarray(sites)))
+        np.testing.assert_allclose(vals, temps, atol=1e-7)
+        # And agrees with the host engine away from cocircular ties.
+        tree = ht.build(sites, key=0)
+        rng = np.random.default_rng(3)
+        Q = rng.uniform([-89.0, 41.2], [-87.0, 42.8], size=(200, 2))
+        dev_vals = np.asarray(dt.interp(tri, resp, jnp.asarray(Q)))
+        host_vals = np.array([tree.interp(temps, q) for q in Q])
+        close = np.abs(dev_vals - host_vals) < 1e-8
+        # The weather set contains a ~5e-16-cocircular quad (see
+        # test_device_tri); triangulations may differ there.
+        assert close.mean() > 0.97
