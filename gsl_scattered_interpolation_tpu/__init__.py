@@ -16,7 +16,10 @@ Layout:
 """
 
 from .version import __version__  # noqa: F401
-from . import ops, utils  # noqa: F401
+from . import models, ops, parallel, utils  # noqa: F401
+from .models.scattered import ScatteredInterp  # noqa: F401
+from .models.interp1d import Interp1D, Spline1D, interp, spline  # noqa: F401
+from .models.interp2d import Interp2D, Spline2D, interp2d, spline2d  # noqa: F401
 
 
 def setup_x64() -> None:

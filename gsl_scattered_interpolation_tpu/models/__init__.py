@@ -1,1 +1,8 @@
-from . import host_tree  # noqa: F401
+from . import (  # noqa: F401
+    device_delaunay,
+    device_tri,
+    host_tree,
+    interp1d,
+    interp2d,
+    scattered,
+)

@@ -1,0 +1,424 @@
+"""The gsl_interp 1D family, rebuilt batched-functional for TPU.
+
+Re-implements the stock GSL strategy-object API (``gsl_interp_type`` vtable,
+gsl_interp.h:50-71) and all seven 1D kernels with identical numerics:
+
+  linear               (linear.c)
+  polynomial           (poly.c, Newton divided differences)
+  cspline              (cspline.c:94-137, natural; Engeln-Mullges & Uhlig)
+  cspline_periodic     (cspline.c:146-221, cyclic system)
+  akima                (akima.c:95-151, non-periodic ghost slopes
+                        m[-2]=3m0-2m1, m[-1]=2m0-m1 and mirrored right end)
+  akima_periodic       (akima.c:158-180, wrapped ghost slopes)
+  steffen              (steffen.c:109-179, monotonicity-preserving)
+
+Design differences from GSL, all TPU-motivated:
+
+* **Batched evaluation**: every eval/deriv/deriv2/integ takes an ARRAY of
+  query points; interval lookup is a vectorized branchless bisection with
+  ``gsl_interp_bsearch`` clamping semantics (gsl_interp.h:157-194).  The
+  stateful ``gsl_interp_accel`` cache (accel.c) is unnecessary — batching
+  amortizes lookup, and XLA fuses the gather.
+* **Unified cubic-segment representation**: each kernel's init produces
+  per-interval coefficients ``[n-1, 4]`` (value, d1, d2, d3 in the local
+  offset), so one evaluation path serves five kernels; tridiagonal systems
+  are lax.scan Thomas solves (ops/tridiag.py).
+* **Domain semantics**: out-of-range queries return NaN and the ``_e``
+  variants return a per-query status array (EDOM), mirroring
+  ``gsl_interp_eval_e`` (interp.c:131-137); the non-``_e`` wrappers raise
+  ``DomainError`` when asked for ``strict=True`` (GSL's default error
+  handler aborts; a batched library shouldn't, so strict is opt-in).
+* Derivatives of the polynomial kernel use exact autodiff of the Newton
+  form rather than hand-written divided-difference derivative tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import tridiag
+from ..utils import errors
+
+# ---------------------------------------------------------------------------
+# Interval search (gsl_interp_bsearch / gsl_interp_accel_find parity)
+# ---------------------------------------------------------------------------
+
+
+def bsearch(x, xq):
+    """Index i with x[i] <= xq < x[i+1], clamped to [0, n-2].
+
+    Matches gsl_interp_bsearch's fully specified boundary behavior
+    (gsl_interp.h:157-194): below-range -> 0, above-range (including
+    xq == x[n-1]) -> n-2.
+    """
+    i = jnp.searchsorted(x, xq, side="right") - 1
+    return jnp.clip(i, 0, x.shape[0] - 2).astype(jnp.int32)
+
+
+find_interval = bsearch  # accel-equivalent entry point
+
+
+# ---------------------------------------------------------------------------
+# Unified cubic-segment machinery
+# ---------------------------------------------------------------------------
+
+
+def _seg_eval(coef, dx):
+    a0, a1, a2, a3 = (coef[..., k] for k in range(4))
+    return a0 + dx * (a1 + dx * (a2 + dx * a3))
+
+
+def _seg_deriv(coef, dx):
+    _, a1, a2, a3 = (coef[..., k] for k in range(4))
+    return a1 + dx * (2.0 * a2 + 3.0 * a3 * dx)
+
+
+def _seg_deriv2(coef, dx):
+    a2, a3 = coef[..., 2], coef[..., 3]
+    return 2.0 * a2 + 6.0 * a3 * dx
+
+
+def _seg_antideriv(coef, dx):
+    a0, a1, a2, a3 = (coef[..., k] for k in range(4))
+    return dx * (a0 + dx * (a1 / 2 + dx * (a2 / 3 + dx * (a3 / 4))))
+
+
+# ---------------------------------------------------------------------------
+# Kernel inits -> per-segment cubic coefficients
+# ---------------------------------------------------------------------------
+
+
+def _coef_linear(x, y):
+    h = jnp.diff(x)
+    m = jnp.diff(y) / h
+    z = jnp.zeros_like(m)
+    return jnp.stack([y[:-1], m, z, z], axis=-1)
+
+
+def _coef_from_c(x, y, c):
+    """Segment coefficients from the cspline second-derivative array ``c``
+    (the b/d formulas of cspline.c coeff_calc, :238-250)."""
+    h = jnp.diff(x)
+    dy = jnp.diff(y)
+    b = dy / h - h * (c[1:] + 2.0 * c[:-1]) / 3.0
+    d = (c[1:] - c[:-1]) / (3.0 * h)
+    return jnp.stack([y[:-1], b, c[:-1], d], axis=-1)
+
+
+def _coef_cspline(x, y):
+    n = x.shape[0]
+    c = jnp.zeros(n, x.dtype)
+    if n > 2:
+        h = jnp.diff(x)
+        dy = jnp.diff(y)
+        g = jnp.where(h != 0, 1.0 / jnp.where(h != 0, h, 1.0), 0.0)
+        diag = 2.0 * (h[1:] + h[:-1])
+        offdiag = h[1:-1]
+        rhs = 3.0 * (dy[1:] * g[1:] - dy[:-1] * g[:-1])
+        c = c.at[1:-1].set(tridiag.solve_symm_tridiag(diag, offdiag, rhs))
+    return _coef_from_c(x, y, c)
+
+
+def _coef_cspline_periodic(x, y):
+    n = x.shape[0]
+    if n == 2:
+        # Degenerate periodic: constant second derivative 0.
+        return _coef_from_c(x, y, jnp.zeros(2, x.dtype))
+    h = jnp.diff(x)
+    dy = jnp.diff(y)
+    g = jnp.where(h != 0, 1.0 / jnp.where(h != 0, h, 1.0), 0.0)
+    # Cyclic system over c[1..n-1] (cspline.c:179-216): row i couples
+    # segments i and i+1, with the last row wrapping to segment 0.
+    h_next = jnp.roll(h, -1)
+    dyg_next = jnp.roll(dy * g, -1)
+    diag = 2.0 * (h + h_next)
+    offdiag = h_next
+    rhs = 3.0 * (dyg_next - dy * g)
+    sol = tridiag.solve_symm_cyc_tridiag(diag, offdiag, rhs)
+    c = jnp.concatenate([sol[-1:], sol])  # c[0] = c[n-1]
+    return _coef_from_c(x, y, c)
+
+
+def _akima_coefs(x, y, m_ext):
+    """Vectorized akima_calc (akima.c:86-126): m_ext has 2 ghost slopes on
+    each side, so m_ext[i+2] == m_i."""
+    n = x.shape[0]
+    idx = jnp.arange(n - 1)
+    mi = m_ext[idx + 2]
+    mim1 = m_ext[idx + 1]
+    mim2 = m_ext[idx]
+    mip1 = m_ext[idx + 3]
+    mip2 = m_ext[idx + 4]
+    NE = jnp.abs(mip1 - mi) + jnp.abs(mim1 - mim2)
+    h = jnp.diff(x)
+    NE_next = jnp.abs(mip2 - mip1) + jnp.abs(mi - mim1)
+    alpha = jnp.abs(mim1 - mim2) / jnp.where(NE == 0, 1.0, NE)
+    alpha_n = jnp.abs(mi - mim1) / jnp.where(NE_next == 0, 1.0, NE_next)
+    tL_next = jnp.where(
+        NE_next == 0, mi, (1.0 - alpha_n) * mi + alpha_n * mip1
+    )
+    b = (1.0 - alpha) * mim1 + alpha * mi
+    cc = (3.0 * mi - 2.0 * b - tL_next) / h
+    d = (b + tL_next - 2.0 * mi) / (h * h)
+    b = jnp.where(NE == 0, mi, b)
+    cc = jnp.where(NE == 0, 0.0, cc)
+    d = jnp.where(NE == 0, 0.0, d)
+    return jnp.stack([y[:-1], b, cc, d], axis=-1)
+
+
+def _coef_akima(x, y):
+    m = jnp.diff(y) / jnp.diff(x)
+    # Non-periodic ghost slopes (akima.c:144-147).
+    left = jnp.stack([3.0 * m[0] - 2.0 * m[1], 2.0 * m[0] - m[1]])
+    right = jnp.stack([2.0 * m[-1] - m[-2], 3.0 * m[-1] - 2.0 * m[-2]])
+    return _akima_coefs(x, y, jnp.concatenate([left, m, right]))
+
+
+def _coef_akima_periodic(x, y):
+    m = jnp.diff(y) / jnp.diff(x)
+    # Periodic ghost slopes (akima.c:173-176).
+    left = jnp.stack([m[-2], m[-1]])
+    right = jnp.stack([m[0], m[1]])
+    return _akima_coefs(x, y, jnp.concatenate([left, m, right]))
+
+
+def _coef_steffen(x, y):
+    h = jnp.diff(x)
+    s = jnp.diff(y) / h
+    # Interior y' (steffen.c:135-153, eq. 11 of Steffen 1990).
+    him1, hi = h[:-1], h[1:]
+    sim1, si = s[:-1], s[1:]
+    p = (sim1 * hi + si * him1) / (him1 + hi)
+    yp_mid = (jnp.sign(sim1) + jnp.sign(si)) * jnp.minimum(
+        jnp.abs(sim1), jnp.minimum(jnp.abs(si), 0.5 * jnp.abs(p))
+    )
+    # "Simplest possibility" boundaries (steffen.c:130, 160-163).
+    yp = jnp.concatenate([s[:1], yp_mid, s[-1:]])
+    a = (yp[:-1] + yp[1:] - 2.0 * s) / (h * h)
+    b = (3.0 * s - 2.0 * yp[:-1] - yp[1:]) / h
+    return jnp.stack([y[:-1], yp[:-1], b, a], axis=-1)
+
+
+# Steffen's copysign(1, 0) = +1 in C, while jnp.sign(0) = 0; GSL's formula
+# multiplies by min(|s|,...) which is 0 whenever a slope is 0, so the
+# difference never reaches the result.
+
+
+# ---------------------------------------------------------------------------
+# Polynomial kernel (Newton divided differences, poly.c)
+# ---------------------------------------------------------------------------
+
+
+def _poly_dd(x, y):
+    """Divided-difference coefficients, vectorized over levels."""
+    n = x.shape[0]
+    d = y
+    rows = [y[0]]
+    for k in range(1, n):  # n is static; small for any sane polynomial fit
+        d = (d[1:] - d[:-1]) / (x[k:] - x[:-k])
+        rows.append(d[0])
+    return jnp.stack(rows)
+
+
+def _poly_eval_scalar(dd, x, xq):
+    n = dd.shape[0]
+    acc = dd[n - 1]
+    for k in range(n - 2, -1, -1):
+        acc = acc * (xq - x[k]) + dd[k]
+    return acc
+
+
+def _poly_monomial(dd, x):
+    """Newton form -> monomial coefficients (ascending), for integration.
+
+    Same approach as GSL's Taylor conversion (poly.c eval_integ path);
+    inherits the same conditioning caveats for large n.
+    """
+    n = dd.shape[0]
+    c = jnp.zeros(n, dd.dtype).at[0].set(dd[n - 1])
+    for k in range(n - 2, -1, -1):
+        shifted = jnp.roll(c, 1).at[0].set(0.0)
+        c = shifted - x[k] * c
+        c = c.at[0].add(dd[k])
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Type registry (gsl_interp_type analog, gsl_interp.h:50-61)
+# ---------------------------------------------------------------------------
+
+
+class InterpType(NamedTuple):
+    name: str
+    min_size: int
+    init: Callable  # (x, y) -> state dict
+
+
+TYPES = {
+    "linear": InterpType("linear", 2, _coef_linear),
+    "polynomial": InterpType("polynomial", 3, None),  # special-cased
+    "cspline": InterpType("cspline", 3, _coef_cspline),
+    "cspline_periodic": InterpType(
+        "cspline_periodic", 2, _coef_cspline_periodic
+    ),
+    "akima": InterpType("akima", 5, _coef_akima),
+    "akima_periodic": InterpType("akima_periodic", 5, _coef_akima_periodic),
+    "steffen": InterpType("steffen", 3, _coef_steffen),
+}
+
+
+class Interp1D:
+    """1D interpolant over strictly increasing x (gsl_interp analog).
+
+    All evaluation methods are batched and jit-compatible; out-of-domain
+    queries produce NaN (``*_e`` variants also return EDOM status).
+    """
+
+    def __init__(self, x, y, kind: str = "cspline"):
+        if kind not in TYPES:
+            raise errors.InvalidArgumentError(
+                f"unknown interpolation type {kind!r}; have {sorted(TYPES)}"
+            )
+        t = TYPES[kind]
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if x.shape[0] < t.min_size:
+            raise errors.InvalidArgumentError(
+                f"{kind} requires at least {t.min_size} points"
+                f" (gsl min_size), got {x.shape[0]}"
+            )
+        xh = np.asarray(x)
+        if not np.all(np.diff(xh) > 0):
+            # interp.c:79-85: x must be strictly increasing (EINVAL).
+            raise errors.InvalidArgumentError(
+                "x values must be strictly increasing"
+            )
+        self.kind = kind
+        self.type = t
+        self.x = x
+        self.y = y
+        if kind == "polynomial":
+            self.dd = _poly_dd(x, y)
+        else:
+            self.coef = t.init(x, y)
+
+    # -- properties mirroring gsl_interp --------------------------------
+
+    @property
+    def name(self) -> str:
+        return self.kind
+
+    @property
+    def min_size(self) -> int:
+        return self.type.min_size
+
+    @property
+    def xmin(self):
+        return self.x[0]
+
+    @property
+    def xmax(self):
+        return self.x[-1]
+
+    # -- evaluation ------------------------------------------------------
+
+    def _domain_mask(self, xq):
+        return (xq >= self.x[0]) & (xq <= self.x[-1])
+
+    def _masked(self, vals, xq, strict):
+        ok = self._domain_mask(xq)
+        if strict and not bool(jnp.all(ok)):
+            raise errors.DomainError("interpolation point outside range")
+        return jnp.where(ok, vals, jnp.nan)
+
+    def _raw_eval(self, xq, seg_fn):
+        i = bsearch(self.x, xq)
+        return seg_fn(self.coef[i], xq - self.x[i])
+
+    def eval(self, xq, strict: bool = False):
+        xq = jnp.asarray(xq)
+        if self.kind == "polynomial":
+            vals = jax.vmap(
+                lambda q: _poly_eval_scalar(self.dd, self.x, q)
+            )(jnp.atleast_1d(xq)).reshape(jnp.shape(xq))
+        else:
+            vals = self._raw_eval(xq, _seg_eval)
+        return self._masked(vals, xq, strict)
+
+    def eval_e(self, xq):
+        vals = self.eval(xq)
+        status = jnp.where(self._domain_mask(xq), errors.SUCCESS, errors.EDOM)
+        return vals, status
+
+    def eval_deriv(self, xq, strict: bool = False):
+        xq = jnp.asarray(xq)
+        if self.kind == "polynomial":
+            g = jax.vmap(
+                jax.grad(lambda q: _poly_eval_scalar(self.dd, self.x, q))
+            )(jnp.atleast_1d(xq)).reshape(jnp.shape(xq))
+            return self._masked(g, xq, strict)
+        vals = self._raw_eval(xq, _seg_deriv)
+        return self._masked(vals, xq, strict)
+
+    def eval_deriv2(self, xq, strict: bool = False):
+        xq = jnp.asarray(xq)
+        if self.kind == "polynomial":
+            g = jax.vmap(
+                jax.grad(
+                    jax.grad(lambda q: _poly_eval_scalar(self.dd, self.x, q))
+                )
+            )(jnp.atleast_1d(xq)).reshape(jnp.shape(xq))
+            return self._masked(g, xq, strict)
+        vals = self._raw_eval(xq, _seg_deriv2)
+        return self._masked(vals, xq, strict)
+
+    def eval_integ(self, a, b, strict: bool = False):
+        """Integral over [a, b] (gsl_interp_eval_integ semantics)."""
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        if self.kind == "polynomial":
+            mono = _poly_monomial(self.dd, self.x)
+            k = jnp.arange(mono.shape[0]) + 1.0
+
+            def antider(t):
+                return jnp.sum(mono * t ** k / k)
+
+            vals = jax.vmap(lambda aa, bb: antider(bb) - antider(aa))(
+                jnp.atleast_1d(a), jnp.atleast_1d(b)
+            ).reshape(jnp.shape(a))
+        else:
+            h = jnp.diff(self.x)
+            full = _seg_antideriv(self.coef, h)
+            prefix = jnp.concatenate(
+                [jnp.zeros(1, full.dtype), jnp.cumsum(full)]
+            )
+
+            def upto(t):
+                i = bsearch(self.x, t)
+                return prefix[i] + _seg_antideriv(self.coef[i], t - self.x[i])
+
+            vals = upto(b) - upto(a)
+        ok = self._domain_mask(a) & self._domain_mask(b)
+        if strict and not bool(jnp.all(ok)):
+            raise errors.DomainError("integration limits outside range")
+        return jnp.where(ok, vals, jnp.nan)
+
+
+class Spline1D(Interp1D):
+    """gsl_spline analog: identical API; owns copies of x and y
+    (gsl_spline.h:39-44).  In this functional design Interp1D already owns
+    immutable device arrays, so this is a naming-parity alias.
+    """
+
+
+def interp(x, y, kind="cspline") -> Interp1D:
+    return Interp1D(x, y, kind)
+
+
+def spline(x, y, kind="cspline") -> Spline1D:
+    return Spline1D(x, y, kind)

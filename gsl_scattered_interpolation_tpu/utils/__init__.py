@@ -1,1 +1,9 @@
-from . import datasets, errors, integrity, machine, rng, testing  # noqa: F401
+from . import (  # noqa: F401
+    datasets,
+    errors,
+    integrity,
+    machine,
+    rng,
+    serialize,
+    testing,
+)
