@@ -1,0 +1,210 @@
+"""Ordinary kriging with variogram fitting and per-query error estimates.
+
+The reference README plans "kriging interpolation" and "error estimates
+on interpolated values" (README:24-25) but implements neither.  This
+module provides both, TPU-first:
+
+* **Empirical semivariogram**: all-pairs squared differences and
+  distances in one broadcast (subsampled above ``max_pairs_sites``),
+  binned by distance — a couple of segment-sum scatters.
+* **Model fitting**: spherical / exponential / gaussian variogram models.
+  For a candidate range the model is LINEAR in (nugget, sill), so fitting
+  is a dense scan over a range grid with a closed-form 2x2
+  weighted-least-squares solve per candidate — no iterative optimizer to
+  babysit, fully jit-able, and the whole scan is one vectorized pass.
+* **Prediction**: the ordinary-kriging saddle system
+  ``[[Gamma, 1], [1^T, 0]] [w; mu] = [gamma(q); 1]`` is factorized ONCE
+  (LU) and applied to all query right-hand sides as one batched
+  triangular solve — per-query weights, predictions, and kriging
+  variances ``sigma^2 = w . gamma(q) + mu`` come out of a single MXU pass.
+
+Coordinates are standardized like the rest of the engine
+(linear_simplex.c:187-198) so ranges are resolution-independent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rbf
+from ..utils import errors
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _vg_spherical(h, rng_):
+    t = jnp.clip(h / rng_, 0.0, 1.0)
+    return 1.5 * t - 0.5 * t**3
+
+
+def _vg_exponential(h, rng_):
+    return 1.0 - jnp.exp(-3.0 * h / rng_)
+
+
+def _vg_gaussian(h, rng_):
+    return 1.0 - jnp.exp(-3.0 * (h / rng_) ** 2)
+
+
+VARIOGRAM_MODELS = {
+    "spherical": _vg_spherical,
+    "exponential": _vg_exponential,
+    "gaussian": _vg_gaussian,
+}
+
+
+class Variogram(NamedTuple):
+    model: str
+    nugget: float
+    sill: float      # partial sill (model amplitude above the nugget)
+    range_: float
+
+    def __call__(self, h):
+        base = VARIOGRAM_MODELS[self.model](jnp.asarray(h), self.range_)
+        return self.nugget * (jnp.asarray(h) > 0) + self.sill * base
+
+
+def empirical_variogram(
+    sites_std, values, n_bins: int = 15, max_pairs_sites: int = 2000, key=0
+):
+    """(bin_centers, gamma_hat, counts) from standardized sites."""
+    sites_std = jnp.asarray(sites_std)
+    values = jnp.asarray(values)
+    n = sites_std.shape[0]
+    if n > max_pairs_sites:
+        idx = jax.random.choice(
+            jax.random.key(key), n, (max_pairs_sites,), replace=False
+        )
+        sites_std = sites_std[idx]
+        values = values[idx]
+        n = max_pairs_sites
+    D = rbf.pairwise_dist(sites_std, sites_std)
+    G = 0.5 * (values[:, None] - values[None, :]) ** 2
+    iu = jnp.triu_indices(n, k=1)
+    d = D[iu]
+    g = G[iu]
+    hmax = jnp.max(d) * 0.6  # conventional cutoff: short lags carry signal
+    edges = jnp.linspace(0.0, hmax, n_bins + 1)
+    which = jnp.clip(
+        jnp.searchsorted(edges, d, side="right") - 1, 0, n_bins - 1
+    )
+    valid = d <= hmax
+    counts = jnp.zeros(n_bins).at[which].add(valid * 1.0)
+    sums = jnp.zeros(n_bins).at[which].add(valid * g)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    gamma = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1), 0.0)
+    return centers, gamma, counts
+
+
+def fit_variogram(
+    centers, gamma, counts, model: str = "spherical", n_ranges: int = 64
+) -> Variogram:
+    """Weighted LSQ fit; linear solve in (nugget, sill) per candidate range."""
+    if model not in VARIOGRAM_MODELS:
+        raise errors.InvalidArgumentError(
+            f"unknown variogram model {model!r}"
+        )
+    centers = jnp.asarray(centers)
+    gamma = jnp.asarray(gamma)
+    w = jnp.asarray(counts)
+    vg = VARIOGRAM_MODELS[model]
+    ranges = jnp.linspace(
+        float(centers[1]), float(centers[-1]) * 1.5, n_ranges
+    )
+
+    def sse_for(rng_):
+        basis = vg(centers, rng_)  # sill multiplier
+        ones = jnp.ones_like(basis)
+        # min over (nugget a, sill b): sum w (a + b*basis - gamma)^2
+        A00 = jnp.sum(w * ones)
+        A01 = jnp.sum(w * basis)
+        A11 = jnp.sum(w * basis * basis)
+        b0 = jnp.sum(w * gamma)
+        b1 = jnp.sum(w * basis * gamma)
+        det = A00 * A11 - A01 * A01
+        a = (A11 * b0 - A01 * b1) / det
+        b = (A00 * b1 - A01 * b0) / det
+        a = jnp.maximum(a, 0.0)  # nugget >= 0
+        b = jnp.maximum(b, 1e-12)  # positive partial sill
+        sse = jnp.sum(w * (a + b * basis - gamma) ** 2)
+        return sse, a, b
+
+    sses, nuggets, sills = jax.vmap(sse_for)(ranges)
+    i = int(jnp.argmin(sses))
+    return Variogram(
+        model=model,
+        nugget=float(nuggets[i]),
+        sill=float(sills[i]),
+        range_=float(ranges[i]),
+    )
+
+
+class OrdinaryKriging:
+    """Ordinary kriging predictor with per-query variance.
+
+    Args:
+      sites: [N, d] raw coords; values: [N].
+      variogram: a fitted Variogram, or None to fit one automatically
+        (empirical + weighted-LSQ over `model`).
+    """
+
+    def __init__(
+        self,
+        sites,
+        values,
+        variogram: Variogram | None = None,
+        model: str = "spherical",
+        standardize: bool = True,
+    ):
+        sites = np.asarray(sites, np.float64)
+        values = np.asarray(values, np.float64)
+        n, d = sites.shape
+        if values.shape != (n,):
+            raise errors.InvalidArgumentError("values shape mismatch")
+        if standardize:
+            lo, hi = sites.min(0), sites.max(0)
+            self.shift = (lo + hi) / 2.0
+            ext = hi - lo
+            self.scale = np.where(ext > 0, 1.0 / np.where(ext > 0, ext, 1), 1.0)
+        else:
+            self.shift = np.zeros(d)
+            self.scale = np.ones(d)
+        self.xs = jnp.asarray(self.scale * (sites - self.shift))
+        self.values = jnp.asarray(values)
+        if variogram is None:
+            c, g, w = empirical_variogram(self.xs, self.values)
+            variogram = fit_variogram(c, g, w, model=model)
+        self.variogram = variogram
+
+        # Factorize the (n+1) ordinary-kriging saddle matrix once.
+        Gmat = self.variogram(rbf.pairwise_dist(self.xs, self.xs))
+        ones = jnp.ones((n, 1), Gmat.dtype)
+        K = jnp.block(
+            [[Gmat, ones], [ones.T, jnp.zeros((1, 1), Gmat.dtype)]]
+        )
+        self._lu = jax.scipy.linalg.lu_factor(K)
+
+    def predict(self, q):
+        """(mean [B], variance [B]) at raw query points [B, d].
+
+        One batched LU solve: weights + Lagrange multiplier per query, then
+        pred = w.y and sigma^2 = w.gamma(q) + mu.
+        """
+        q = jnp.atleast_2d(jnp.asarray(q))
+        qs = jnp.asarray(self.scale) * (q - jnp.asarray(self.shift))
+        gq = self.variogram(rbf.pairwise_dist(qs, self.xs))  # [B, N]
+        rhs = jnp.concatenate(
+            [gq, jnp.ones((gq.shape[0], 1), gq.dtype)], axis=1
+        )  # [B, N+1]
+        sol = jax.scipy.linalg.lu_solve(self._lu, rhs.T).T  # [B, N+1]
+        w = sol[:, :-1]
+        mu = sol[:, -1]
+        mean = jnp.matmul(w, self.values, precision=HIGHEST)
+        var = jnp.sum(w * gq, axis=1) + mu
+        return mean, jnp.maximum(var, 0.0)
+
+    def eval(self, q):
+        return self.predict(q)[0]

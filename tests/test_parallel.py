@@ -1,0 +1,97 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsl_scattered_interpolation_tpu.models import (
+    device_tri as dt,
+    host_tree as ht,
+    rbf,
+)
+from gsl_scattered_interpolation_tpu.parallel import mesh as pmesh, sharding
+from gsl_scattered_interpolation_tpu.utils import datasets
+
+
+@pytest.fixture(scope="module")
+def mesh_dp8():
+    return pmesh.make_mesh(dp=8, tp=1)
+
+
+@pytest.fixture(scope="module")
+def mesh_tp8():
+    return pmesh.make_mesh(dp=1, tp=8)
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        m = pmesh.make_mesh(dp=4, tp=2)
+        assert m.shape == {"dp": 4, "tp": 2}
+        with pytest.raises(ValueError):
+            pmesh.make_mesh(dp=3, tp=2)
+
+
+class TestInterpSharded:
+    def test_matches_single_device(self, mesh_dp8):
+        sites, temps = datasets.weather()
+        tree = ht.build(sites, key=0)
+        tri = dt.freeze(tree)
+        resp = dt.reindex_response(tree, temps)
+        rng = np.random.default_rng(0)
+        Q = jnp.asarray(
+            rng.uniform([-89.5, 41.0], [-86.5, 43.1], size=(8 * 512, 2))
+        )
+        single = np.asarray(dt.interp(tri, resp, Q))
+        shard = np.asarray(
+            sharding.interp_sharded(tri, resp, Q, mesh_dp8)
+        )
+        np.testing.assert_allclose(shard, single, atol=1e-12)
+        # Output really is dp-sharded across 8 devices.
+        out = sharding.interp_sharded(tri, resp, Q, mesh_dp8)
+        assert len(out.sharding.device_set) == 8
+
+
+class TestRbfSharded:
+    def test_cg_matches_direct(self, mesh_tp8):
+        rng = np.random.default_rng(1)
+        n = 8 * 48
+        sites = rng.uniform(-0.5, 0.5, size=(n, 2))
+        vals = np.sin(4 * sites[:, 0]) + sites[:, 1]
+        direct = rbf.RbfInterp(
+            sites, vals, kernel="wendland_c2", epsilon=6.0,
+            standardize=False,
+        )
+        lam = sharding.rbf_fit_cg_sharded(
+            sites, vals, mesh_tp8, kernel="wendland_c2", epsilon=6.0,
+            tol=1e-12, maxiter=2000,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lam), np.asarray(direct.lam), atol=1e-6
+        )
+
+    def test_matvec_consistency(self, mesh_tp8):
+        # Sharded matvec == dense matvec.
+        rng = np.random.default_rng(2)
+        n = 8 * 16
+        xs = jnp.asarray(rng.uniform(-0.5, 0.5, size=(n, 2)))
+        v = jnp.asarray(rng.normal(size=n))
+        phi = rbf.KERNELS["wendland_c2"].phi
+        A = phi(rbf.pairwise_dist(xs, xs), 6.0)
+        want = np.asarray(A @ v + 0.5 * v)
+
+        from jax.sharding import PartitionSpec as P
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda xl, vl: sharding.rbf_matvec_sharded(
+                    xl, vl, phi, 6.0, 0.5
+                ),
+                mesh=mesh_tp8,
+                in_specs=(P("tp", None), P("tp")),
+                out_specs=P("tp"),
+                check_vma=False,
+            )
+        )
+        got = np.asarray(f(xs, v))
+        np.testing.assert_allclose(got, want, atol=1e-10)
