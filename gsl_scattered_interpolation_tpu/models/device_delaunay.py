@@ -56,6 +56,7 @@ INT_MAX = np.iinfo(np.int32).max
 class BuildState(NamedTuple):
     tri_v: jax.Array     # [M, 3] int32 vertex ids (-1 rows = unallocated)
     tri_n: jax.Array     # [M, 3] int32 neighbor ids, -1 = boundary
+    cc: jax.Array        # [M, 4] cached circumcircles: (cx, cy, r2, ok)
     n_tris: jax.Array    # scalar int32: allocated slots
     site_tri: jax.Array  # [N] int32: containing leaf per site; -1 = inserted
     n_left: jax.Array    # scalar int32: uninserted site count
@@ -76,7 +77,28 @@ def _circumcircles(pts, tri_v):
     return geometry.circumsphere(verts)
 
 
-def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
+def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
+    """Recompute cached circumcircles for the given row ids (scatter-drop).
+
+    Only rows touched by a split/flip are refreshed — the flip loop reads
+    everything else from cache, turning the O(M)-per-sub-round recompute
+    into O(#changed).
+    """
+    safe = jnp.where(rows_valid, rows, 0)
+    center, r2, ok = geometry.circumsphere(pts[tri_v[safe]])
+    packed = jnp.concatenate(
+        [center, r2[:, None], ok[:, None].astype(center.dtype)], axis=-1
+    )
+    tgt = jnp.where(rows_valid, rows, M + 1)
+    return cc.at[tgt].set(packed, mode="drop")
+
+
+def build_2d(
+    sites_std,
+    cage_std,
+    max_flip_rounds: int = 4096,
+    flips_per_round: int = 2,
+):
     """Build the Delaunay triangulation of cage+sites on device.
 
     Args:
@@ -97,9 +119,14 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         jnp.arange(3, dtype=jnp.int32)
     )
     tri_n = jnp.full((M, 3), -1, jnp.int32)
+    cc0 = jnp.zeros((M, 4), dtype)
+    cc0 = _cc_update(
+        cc0, pts, tri_v, jnp.zeros(1, jnp.int32), jnp.ones(1, bool), M
+    )
     state = BuildState(
         tri_v=tri_v,
         tri_n=tri_n,
+        cc=cc0,
         n_tris=jnp.int32(1),
         site_tri=jnp.zeros(N, jnp.int32),
         n_left=jnp.int32(N),
@@ -109,7 +136,7 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
     # ---------------- split phase ----------------
 
     def split_round(st: BuildState) -> BuildState:
-        tri_v, tri_n, n_tris, site_tri, n_left = st
+        tri_v, tri_n, cc, n_tris, site_tri, n_left = st
         # 1. Each leaf claims its lowest-id uninserted site.
         tgt = jnp.where(site_tri >= 0, site_tri, M)  # dead sites -> dummy
         claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
@@ -146,6 +173,12 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         # my shared-face vertices.
         tri_n = _repair_after_split(tri_v, tri_n, has, cA, cB, n_tris)
 
+        # Refresh circumcircle cache for the 3 children of every split.
+        rows3 = jnp.concatenate([p, ca, cb])
+        cc = _cc_update(
+            cc, pts, tri_v, rows3, jnp.concatenate([pmask] * 3), M
+        )
+
         # 4. Re-locate uninserted sites whose leaf split; retire claimed.
         t_of = jnp.where(site_tri >= 0, site_tri, 0)
         needs = (site_tri >= 0) & has[t_of]
@@ -160,14 +193,14 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         claimed = (site_tri >= 0) & (claim[t_of] == site_ids) & has[t_of]
         site_tri = jnp.where(claimed, -1, site_tri)
         n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
-        return BuildState(tri_v, tri_n, n_tris, site_tri, n_left)
+        return BuildState(tri_v, tri_n, cc, n_tris, site_tri, n_left)
 
     # ---------------- flip phase ----------------
 
     def flip_round(carry):
-        tri_v, tri_n, n_tris, site_tri, _changed = carry
+        tri_v, tri_n, cc, n_tris, site_tri, _changed = carry
         alive = tri_v[:, 0] >= 0
-        center, r2, cok = _circumcircles(pts, jnp.where(alive[:, None], tri_v, 0))
+        center, r2, cok = cc[:, :2], cc[:, 2], cc[:, 3] > 0.5
 
         # Far vertex of each neighbor: the vertex at the slot whose
         # neighbor-link points back at us.
@@ -267,6 +300,10 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         # Gather-repair stale pointers into flipped triangles.
         new_tn = _repair_after_flip(new_tv, new_tn, flip_partner)
 
+        # Refresh circumcircle cache for rewritten pairs.
+        rows2 = jnp.concatenate([t_all, u_ids])
+        cc = _cc_update(cc, pts, new_tv, rows2, jnp.concatenate([do, do]), M)
+
         # Re-locate sites straddling a flipped pair.
         t_of = jnp.where(site_tri >= 0, site_tri, 0)
         in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
@@ -277,24 +314,32 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
         site_tri = jnp.where(in_flipped, new_t, site_tri)
 
-        return (new_tv, new_tn, n_tris, site_tri, any_flip)
+        return (new_tv, new_tn, cc, n_tris, site_tri, any_flip)
 
-    def flip_until_done(st: BuildState) -> BuildState:
+    def flip_until_done(st: BuildState, cap: int) -> BuildState:
         def cond(c):
             *_, changed, it = c
-            return jnp.logical_and(changed, it < max_flip_rounds)
+            return jnp.logical_and(changed, it < cap)
 
         def body(c):
-            tri_v, tri_n, n_tris, site_tri, _changed, it = c
-            out = flip_round((tri_v, tri_n, n_tris, site_tri, True))
+            tri_v, tri_n, cc, n_tris, site_tri, _changed, it = c
+            out = flip_round((tri_v, tri_n, cc, n_tris, site_tri, True))
             return (*out, it + 1)
 
-        tri_v, tri_n, n_tris, site_tri, _, _ = jax.lax.while_loop(
+        tri_v, tri_n, cc, n_tris, site_tri, _, _ = jax.lax.while_loop(
             cond,
             body,
-            (st.tri_v, st.tri_n, st.n_tris, st.site_tri, True, jnp.int32(0)),
+            (
+                st.tri_v,
+                st.tri_n,
+                st.cc,
+                st.n_tris,
+                st.site_tri,
+                True,
+                jnp.int32(0),
+            ),
         )
-        return BuildState(tri_v, tri_n, n_tris, site_tri, st.n_left)
+        return BuildState(tri_v, tri_n, cc, n_tris, site_tri, st.n_left)
 
     # ---------------- outer loop ----------------
 
@@ -302,11 +347,18 @@ def build_2d(sites_std, cage_std, max_flip_rounds: int = 2048):
         return st.n_left > 0
 
     def outer_body(st: BuildState):
+        # A bounded number of flip sub-rounds per insertion round keeps the
+        # per-round cost O(M); intermediate states may be locally
+        # non-Delaunay, which is geometrically fine (still a valid
+        # triangulation — location and splits don't require Delaunayness).
         st = split_round(st)
-        st = flip_until_done(st)
+        st = flip_until_done(st, flips_per_round)
         return st
 
     final = jax.lax.while_loop(outer_cond, outer_body, state)
+    # Final cleanup: flip to convergence, restoring the global
+    # empty-circumcircle property.
+    final = flip_until_done(final, max_flip_rounds)
     alive = final.tri_v[:, 0] >= 0
     return final.tri_v, final.tri_n, alive, final.n_tris
 
