@@ -40,7 +40,8 @@ def main():
 
     chunk = 1_000_000
     n_chunks = 10
-    f = jax.jit(lambda q: dt.interp(tri, resp, q, method="dense"))
+    method = "pallas" if jax.devices()[0].platform == "tpu" else "dense"
+    f = jax.jit(lambda q: dt.interp(tri, resp, q, method=method))
     Q = jnp.asarray(
         rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32
     )

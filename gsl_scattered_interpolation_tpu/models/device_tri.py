@@ -506,13 +506,21 @@ def interp(
     (see :func:`reindex_response`), giving the reference's fade-to-zero
     behavior near/outside the data hull; out-of-cage queries return 0.
 
-    method: "auto" picks MXU brute force (:func:`locate_dense`) for small
+    method: "auto" picks brute force (:func:`locate_dense`) for small
     triangulations and the visibility walk (:func:`locate`) for large ones;
-    "dense"/"walk" force a path.
+    "dense"/"walk"/"pallas" force a path ("pallas" = the VMEM-resident
+    TPU kernel in ops.pallas_locate, ~5x the XLA dense path; float32, 2D).
     """
     if method == "auto":
         method = "dense" if tri.n_tris <= DENSE_LOCATE_MAX_TRIS else "walk"
-    if method == "dense":
+    if method == "pallas":
+        from ..ops import pallas_locate
+
+        leaf = pallas_locate.locate_dense_pallas(tri, q_raw)
+        w = _weights(tri, leaf, q_raw)
+        tol = 4.0 * machine.sqrt_eps(q_raw.dtype)
+        in_domain = jnp.all(w >= -jnp.asarray(tol, w.dtype), axis=-1)
+    elif method == "dense":
         leaf, w, in_domain = locate_dense(tri, q_raw)
     else:
         leaf, w, in_domain = locate(tri, q_raw, max_steps=max_steps)

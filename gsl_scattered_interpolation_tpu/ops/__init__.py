@@ -1,1 +1,1 @@
-from . import geometry  # noqa: F401
+from . import geometry, pallas_locate, tridiag  # noqa: F401

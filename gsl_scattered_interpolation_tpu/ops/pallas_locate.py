@@ -27,52 +27,66 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_B = 1024   # queries per grid step (lane-dim multiple of 128)
-TILE_T = 2048   # triangle columns per VMEM chunk
+TILE_B = 1024   # queries per inner row (lane-dim multiple of 128)
+GROUP = 8       # query rows per grid step (TPU sublane block divisibility)
+TILE_T = 1024   # triangle columns per VMEM chunk
 
 
 def _kernel(qt_ref, g_ref, b_ref, best_ref, *, n_t_tiles, t_total):
-    # qt_ref: [2, TILE_B] query coords (centered).  g_ref: [4, Tpad] rows =
-    # (g0x, g0y, g1x, g1y).  b_ref: [2, Tpad] rows = (b0, b1).
-    q0 = qt_ref[0, :][:, None]  # [TILE_B, 1]
-    q1 = qt_ref[1, :][:, None]
+    # qt_ref: [2, GROUP*TILE_B] query coords (centered).  g_ref: [4, Tpad]
+    # rows = (g0x, g0y, g1x, g1y).  b_ref: [2, Tpad] rows = (b0, b1).
+    # best_ref: [GROUP, TILE_B].
+    def row(j, _):
+        q0 = qt_ref[0, pl.ds(j * TILE_B, TILE_B)][:, None]  # [TILE_B, 1]
+        q1 = qt_ref[1, pl.ds(j * TILE_B, TILE_B)][:, None]
 
-    def body(i, carry):
-        best_val, best_idx = carry
-        off = i * TILE_T
-        g = g_ref[:, pl.ds(off, TILE_T)]
-        b = b_ref[:, pl.ds(off, TILE_T)]
-        c0 = q0 * g[0, :][None, :] + q1 * g[1, :][None, :] + b[0, :][None, :]
-        c1 = q0 * g[2, :][None, :] + q1 * g[3, :][None, :] + b[1, :][None, :]
-        minw = jnp.minimum(jnp.minimum(c0, c1), 1.0 - c0 - c1)
-        # Poison padded columns so they never win.
-        col = jax.lax.broadcasted_iota(jnp.int32, minw.shape, 1) + off
-        minw = jnp.where(col < t_total, minw, -jnp.inf)
-        m = jnp.max(minw, axis=-1)          # [TILE_B]
-        a = jnp.argmax(minw, axis=-1).astype(jnp.int32) + off
-        upd = m > best_val
-        return jnp.where(upd, m, best_val), jnp.where(upd, a, best_idx)
+        def body(i, carry):
+            best_val, best_idx = carry
+            off = i * TILE_T
+            g = g_ref[:, pl.ds(off, TILE_T)]
+            b = b_ref[:, pl.ds(off, TILE_T)]
+            c0 = (
+                q0 * g[0, :][None, :]
+                + q1 * g[1, :][None, :]
+                + b[0, :][None, :]
+            )
+            c1 = (
+                q0 * g[2, :][None, :]
+                + q1 * g[3, :][None, :]
+                + b[1, :][None, :]
+            )
+            minw = jnp.minimum(jnp.minimum(c0, c1), 1.0 - c0 - c1)
+            # Poison padded columns so they never win.
+            col = jax.lax.broadcasted_iota(jnp.int32, minw.shape, 1) + off
+            minw = jnp.where(col < t_total, minw, -jnp.inf)
+            m = jnp.max(minw, axis=-1)          # [TILE_B]
+            a = jnp.argmax(minw, axis=-1).astype(jnp.int32) + off
+            upd = m > best_val
+            return jnp.where(upd, m, best_val), jnp.where(upd, a, best_idx)
 
-    init = (
-        jnp.full((TILE_B,), -jnp.inf, jnp.float32),
-        jnp.zeros((TILE_B,), jnp.int32),
-    )
-    _, best_idx = jax.lax.fori_loop(0, n_t_tiles, body, init)
-    best_ref[0, :] = best_idx
+        init = (
+            jnp.full((TILE_B,), -jnp.inf, jnp.float32),
+            jnp.zeros((TILE_B,), jnp.int32),
+        )
+        _, best_idx = jax.lax.fori_loop(0, n_t_tiles, body, init)
+        best_ref[pl.ds(j, 1), :] = best_idx[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("t_total",))
 def _run(qt_pad, g_pack, b_pack, t_total):
-    n_b_tiles = qt_pad.shape[1] // TILE_B
+    n_groups = qt_pad.shape[1] // (GROUP * TILE_B)
     t_pad = g_pack.shape[1]
     n_t_tiles = t_pad // TILE_T
     out = pl.pallas_call(
         functools.partial(_kernel, n_t_tiles=n_t_tiles, t_total=t_total),
-        out_shape=jax.ShapeDtypeStruct((n_b_tiles, TILE_B), jnp.int32),
-        grid=(n_b_tiles,),
+        out_shape=jax.ShapeDtypeStruct((n_groups * GROUP, TILE_B), jnp.int32),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(
-                (2, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM
+                (2, GROUP * TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (4, t_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -82,7 +96,7 @@ def _run(qt_pad, g_pack, b_pack, t_total):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (GROUP, TILE_B), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(qt_pad, g_pack, b_pack)
     return out.reshape(-1)
@@ -115,25 +129,27 @@ def locate_dense_pallas(tri, q_raw, interpret: bool = False):
 
     q = jnp.asarray(q_raw, jnp.float32)
     B = q.shape[0]
-    b_pad = -(-B // TILE_B) * TILE_B
+    b_pad = -(-B // (GROUP * TILE_B)) * (GROUP * TILE_B)
     qt = jnp.pad((q - c0).T, ((0, 0), (0, b_pad - B)))
 
     if interpret:
         # Interpreter mode for CPU testing.
-        n_b_tiles = b_pad // TILE_B
+        n_groups = b_pad // (GROUP * TILE_B)
         n_t_tiles = t_pad // TILE_T
         out = pl.pallas_call(
             functools.partial(
                 _kernel, n_t_tiles=n_t_tiles, t_total=T
             ),
-            out_shape=jax.ShapeDtypeStruct((n_b_tiles, TILE_B), jnp.int32),
-            grid=(n_b_tiles,),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_groups * GROUP, TILE_B), jnp.int32
+            ),
+            grid=(n_groups,),
             in_specs=[
-                pl.BlockSpec((2, TILE_B), lambda i: (0, i)),
+                pl.BlockSpec((2, GROUP * TILE_B), lambda i: (0, i)),
                 pl.BlockSpec((4, t_pad), lambda i: (0, 0)),
                 pl.BlockSpec((2, t_pad), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, TILE_B), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((GROUP, TILE_B), lambda i: (i, 0)),
             interpret=True,
         )(qt, g_pack, b_pack).reshape(-1)
         return out[:B]

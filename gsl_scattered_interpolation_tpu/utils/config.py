@@ -1,0 +1,39 @@
+"""Environment configuration knobs.
+
+The reference's env surface (SURVEY.md §5): ``GSL_RNG_SEED`` /
+``GSL_RNG_TYPE`` (rng/default.c:31-104), ``GSL_IEEE_MODE``
+(ieee-utils/env.c:26-28), ``GSL_TEST_VERBOSE`` (test/results.c:42-58).
+TPU-native equivalents:
+
+  GSI_TPU_SEED     default insertion-shuffle / subsample seed (int).
+  GSI_TPU_X64      "1" enables float64 globally (the IEEE-mode analog:
+                   required for GSL double-parity results).
+  GSI_TPU_VERBOSE  "1" turns on info logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("gsl_scattered_interpolation_tpu")
+
+
+def env_seed(default: int | None = None):
+    """Seed from GSI_TPU_SEED, like gsl_rng_env_setup (rng/default.c:31)."""
+    v = os.environ.get("GSI_TPU_SEED")
+    if v is None:
+        return default
+    return int(v)
+
+
+def env_setup() -> None:
+    """Apply env configuration (call once, before first backend use)."""
+    if os.environ.get("GSI_TPU_X64") == "1":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        log.info("float64 enabled via GSI_TPU_X64")
+    if os.environ.get("GSI_TPU_VERBOSE") == "1":
+        logging.basicConfig(level=logging.INFO)
+        log.setLevel(logging.INFO)

@@ -152,3 +152,19 @@ class TestInterp:
         sites, temps, tree, tri, resp = weather_pair
         ours = np.asarray(dt.interp(tri, resp, jnp.asarray(sites)))
         np.testing.assert_allclose(ours, temps, atol=1e-7)
+
+
+class TestPallasLocate:
+    def test_interpret_matches_dense(self, weather_pair):
+        from gsl_scattered_interpolation_tpu.ops import pallas_locate as plx
+
+        *_, tree, tri, resp = weather_pair
+        tri32 = tri.cast(jnp.float32)
+        rng = np.random.default_rng(5)
+        Q = jnp.asarray(
+            rng.uniform([-89.5, 41.0], [-86.5, 43.1], size=(1500, 2)),
+            jnp.float32,
+        )
+        ref, w, ok = dt.locate_dense(tri32, Q)
+        got = plx.locate_dense_pallas(tri32, Q, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
