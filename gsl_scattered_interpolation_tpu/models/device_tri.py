@@ -524,6 +524,10 @@ def interp(
         leaf, w, in_domain = locate_dense(tri, q_raw)
     else:
         leaf, w, in_domain = locate(tri, q_raw, max_steps=max_steps)
+        # Best-effort acceptance after a capped/cycled walk can leave wildly
+        # violating weights (e.g. a query stuck at a degenerate simplex);
+        # treat those as out-of-domain rather than emitting garbage.
+        in_domain = in_domain & jnp.all(w > -0.5, axis=-1)
     vals = response_ext[tri.tri_verts[leaf]]  # [B, d+1]
     out = jnp.sum(w * vals, axis=-1)
     return jnp.where(in_domain, out, 0.0)
