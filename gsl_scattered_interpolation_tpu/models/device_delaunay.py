@@ -98,6 +98,7 @@ def build_2d(
     cage_std,
     max_flip_rounds: int = 4096,
     flips_per_round: int = 2,
+    max_rounds: int = 0,
 ):
     """Build the Delaunay triangulation of cage+sites on device.
 
@@ -343,19 +344,24 @@ def build_2d(
 
     # ---------------- outer loop ----------------
 
-    def outer_cond(st: BuildState):
-        return st.n_left > 0
+    def outer_cond(carry):
+        st, rounds = carry
+        more = st.n_left > 0
+        if max_rounds:  # debug cap for fault isolation
+            more = jnp.logical_and(more, rounds < max_rounds)
+        return more
 
-    def outer_body(st: BuildState):
+    def outer_body(carry):
+        st, rounds = carry
         # A bounded number of flip sub-rounds per insertion round keeps the
         # per-round cost O(M); intermediate states may be locally
         # non-Delaunay, which is geometrically fine (still a valid
         # triangulation — location and splits don't require Delaunayness).
         st = split_round(st)
         st = flip_until_done(st, flips_per_round)
-        return st
+        return st, rounds + 1
 
-    final = jax.lax.while_loop(outer_cond, outer_body, state)
+    final, _ = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.int32(0)))
     # Final cleanup: flip to convergence, restoring the global
     # empty-circumcircle property.
     final = flip_until_done(final, max_flip_rounds)

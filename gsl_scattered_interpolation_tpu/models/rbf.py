@@ -173,12 +173,6 @@ class RbfInterp:
 
         if solver == "auto":
             solver = "direct" if n <= 8192 else "cg"
-        if solver == "cg" and not self.kernel.strictly_pd:
-            raise errors.InvalidArgumentError(
-                f"matrix-free CG requires a strictly positive-definite "
-                f"kernel; {kernel!r} needs its polynomial-augmented saddle "
-                f"system (use solver='direct')"
-            )
         self.solver = solver
         self._fit(cg_tol, cg_maxiter, block)
 
@@ -218,10 +212,17 @@ class RbfInterp:
                 self.lam = sol[:n]
                 self.poly_coef = sol[n:]
         else:
-            self.lam = _cg_matfree(
-                xs, y, phi, eps, self.smooth, cg_tol, cg_maxiter, block
-            )
-            self.poly_coef = jnp.zeros(0, xs.dtype)
+            P = _poly_basis(xs, self.kernel.poly_degree)
+            if P.shape[1] == 0:
+                self.lam = _cg_matfree(
+                    xs, y, phi, eps, self.smooth, cg_tol, cg_maxiter, block
+                )
+                self.poly_coef = jnp.zeros(0, xs.dtype)
+            else:
+                self.lam, self.poly_coef = _projected_cg_matfree(
+                    xs, y, P, phi, eps, self.smooth, cg_tol, cg_maxiter,
+                    block,
+                )
 
     # -- evaluation --------------------------------------------------------
 
@@ -255,13 +256,56 @@ class RbfInterp:
         return out
 
 
-def _cg_matfree(xs, y, phi, eps, smooth, tol, maxiter, block):
-    """Conjugate gradients on (A + smooth I) lam = y without storing A.
+def _projected_cg_matfree(xs, y, P, phi, eps, smooth, tol, maxiter, block):
+    """Null-space projected CG for conditionally-PD kernels (TPS etc.).
 
-    The matvec streams kernel blocks: for each row block, rebuild
-    phi(|x_i - x_j|) from coordinates and contract on the MXU.  Memory is
-    O(N + block*N); arbitrary N fits on-chip.
+    The saddle system [[A,P],[P^T,0]][lam;c]=[y;0] restricted to the
+    constraint subspace P^T lam = 0 is positive definite (that is what
+    "conditionally PD of order m" means), so CG applies to
+    Pi A Pi lam = Pi y with the orthogonal projector
+    Pi = I - Q Q^T (Q = reduced-QR basis of P).  A is streamed in blocks
+    like :func:`_cg_matfree`; the polynomial tail follows as
+    c = R^{-1} Q^T (y - A lam).  This is the scalable path for
+    thin-plate/cubic/multiquadric fitting where the dense saddle solve
+    no longer fits memory.
     """
+    Q, R = jnp.linalg.qr(P)  # [n, m], [m, m]
+
+    def proj(v):
+        return v - Q @ (Q.T @ v)
+
+    matvec = _make_block_matvec(xs, phi, eps, smooth, block)
+
+    def pmv(v):
+        return proj(matvec(proj(v)))
+
+    b = proj(y)
+    b2 = jnp.vdot(b, b)
+    target = tol * tol * b2
+
+    def cond(state):
+        *_, rs, it = state
+        return jnp.logical_and(rs > target, it < maxiter)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Ap = pmv(p)
+        alpha = rs / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new, it + 1
+
+    x0 = jnp.zeros_like(y)
+    lam, *_ = jax.lax.while_loop(cond, body, (x0, b, b, b2, jnp.int32(0)))
+    lam = proj(lam)
+    c = jax.scipy.linalg.solve_triangular(R, Q.T @ (y - matvec(lam)))
+    return lam, c
+
+
+def _make_block_matvec(xs, phi, eps, smooth, block):
+    """Matrix-free (A + smooth I) v with kernel blocks streamed from coords."""
     n = xs.shape[0]
     pad = (-n) % block
     xp = jnp.concatenate([xs, jnp.full((pad, xs.shape[1]), 1e30, xs.dtype)])
@@ -274,6 +318,18 @@ def _cg_matfree(xs, y, phi, eps, smooth, tol, maxiter, block):
 
         out = jax.lax.map(one, xp.reshape(nblk, block, -1)).reshape(-1)[:n]
         return out + smooth * v
+
+    return matvec
+
+
+def _cg_matfree(xs, y, phi, eps, smooth, tol, maxiter, block):
+    """Conjugate gradients on (A + smooth I) lam = y without storing A.
+
+    The matvec streams kernel blocks: for each row block, rebuild
+    phi(|x_i - x_j|) from coordinates and contract on the MXU.  Memory is
+    O(N + block*N); arbitrary N fits on-chip.
+    """
+    matvec = _make_block_matvec(xs, phi, eps, smooth, block)
 
     def body(state):
         x, r, p, rs, it = state

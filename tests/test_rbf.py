@@ -124,10 +124,27 @@ class TestCG:
         )
         testing.test_abs(np.asarray(it.eval(x)), f, 1e-6)
 
-    def test_cg_rejects_conditional_kernels(self):
-        x, f = _sites(30, 2, 12)
-        with pytest.raises(errors.InvalidArgumentError):
-            rbf.RbfInterp(x, f, kernel="thin_plate", solver="cg")
+    def test_projected_cg_tps_matches_direct(self):
+        # Conditionally-PD kernels go through null-space projected CG.
+        x, f = _sites(400, 2, 12)
+        direct = rbf.RbfInterp(x, f, kernel="thin_plate")
+        cg = rbf.RbfInterp(
+            x,
+            f,
+            kernel="thin_plate",
+            solver="cg",
+            cg_tol=1e-12,
+            cg_maxiter=4000,
+            block=128,
+        )
+        q = np.random.default_rng(13).uniform(-0.9, 0.9, size=(150, 2))
+        testing.test_abs(
+            np.asarray(cg.eval(q)), np.asarray(direct.eval(q)), 1e-7
+        )
+        # Polynomial-tail coefficients agree too.
+        np.testing.assert_allclose(
+            np.asarray(cg.poly_coef), np.asarray(direct.poly_coef), atol=1e-6
+        )
 
 
 class TestApi:
