@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import geometry
+from ..ops import geometry, robust
 from ..utils import machine
 
 INT_MAX = np.iinfo(np.int32).max
@@ -60,6 +60,25 @@ class BuildState(NamedTuple):
     n_tris: jax.Array    # scalar int32: allocated slots
     site_tri: jax.Array  # [N] int32: containing leaf per site; -1 = inserted
     n_left: jax.Array    # scalar int32: uninserted site count
+
+
+def _incircle_det(a, b, c, d):
+    """2D incircle determinant: >0 iff d strictly inside the circumcircle of
+    (a,b,c) when (a,b,c) is counter-clockwise (multiply by sign(orient))."""
+    adx = a[..., 0] - d[..., 0]
+    ady = a[..., 1] - d[..., 1]
+    bdx = b[..., 0] - d[..., 0]
+    bdy = b[..., 1] - d[..., 1]
+    cdx = c[..., 0] - d[..., 0]
+    cdy = c[..., 1] - d[..., 1]
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    return (
+        adx * (bdy * cd2 - cdy * bd2)
+        - ady * (bdx * cd2 - cdx * bd2)
+        + ad2 * (bdx * cdy - cdx * bdy)
+    )
 
 
 def _min_weight(pts, tri_v, tris, q):
@@ -211,45 +230,54 @@ def build_2d(
             return jnp.take_along_axis(tri_v[u_ids], slot[:, None], -1)[:, 0]
 
         t_all = jnp.arange(M, dtype=jnp.int32)
-        viol_dir = jnp.zeros((M, 3), bool)
-        convex_dir = jnp.zeros((M, 3), bool)
-        valid_dir = jnp.zeros((M, 3), bool)
+        # Flip decisions are CANONICAL per 4-point quad: the incircle
+        # determinant is evaluated with the quad's vertices in sorted-id
+        # order, so both orientations of the pair compute the *same* number
+        # and reach the *same* verdict.  A configuration-dependent test
+        # (reference tie-break at linear_simplex.c:535-536) lets fp noise
+        # declare BOTH diagonals violated on near-cocircular quads — the
+        # parallel loop then flips back and forth until its cap, a
+        # minutes-long TPU execution that trips the worker watchdog.
+        # Consistent verdicts make oscillation structurally impossible;
+        # exact ties (S == 0) keep the current diagonal, matching the
+        # reference's shrunken-sphere no-flip semantics.
+        cand_ok = jnp.zeros((M, 3), bool)
         for k in range(3):
             u = tri_n[:, k]
             valid = alive & (u >= 0)
             uu = jnp.where(valid, u, 0)
             far = far_of(t_all, uu)
             fq = pts[far]
-            # in-circumcircle with reference tie-break; degenerate -> true.
-            d2 = jnp.sum((fq - center) ** 2, -1)
-            viol = jnp.where(cok, d2 < r2 * (1.0 - 10.0 * eps), True)
-            # convexity: segment (apex_t, far) must cross the shared edge.
             apex = tri_v[:, k]
             p1 = tri_v[:, (k + 1) % 3]
             p2 = tri_v[:, (k + 2) % 3]
-            o1 = geometry.orient2d(pts[apex], fq, pts[p1])
-            o2 = geometry.orient2d(pts[apex], fq, pts[p2])
-            convex = o1 * o2 < 0
-            valid_dir = valid_dir.at[:, k].set(valid)
-            viol_dir = viol_dir.at[:, k].set(valid & viol)
-            convex_dir = convex_dir.at[:, k].set(convex)
-
-        # Symmetrize candidacy: an EDGE is a candidate if either direction
-        # sees a violation.  In-circle is symmetric in exact arithmetic, but
-        # a degenerate (zero-area) triangle reports "violated" against every
-        # neighbor (linear_simplex.c:517-521) while the reverse direction
-        # may not — one-directional candidates would break the
-        # mutual-matching progress guarantee and strand slivers.
-        cand_ok = jnp.zeros((M, 3), bool)
-        for k in range(3):
-            u = tri_n[:, k]
-            uu = jnp.where(u >= 0, u, 0)
-            j = jnp.argmax(tri_n[uu] == t_all[:, None], axis=-1)
-            rev = jnp.take_along_axis(viol_dir[uu], j[:, None], -1)[:, 0]
+            # convexity: segment (apex, far) must cross the shared edge.
+            # Compensated predicates: plain f32 determinant signs are wrong
+            # on cage-scale quads (ops/robust.py docstring).
+            o1 = robust.orient2d_ds(pts[apex], fq, pts[p1])
+            o2 = robust.orient2d_ds(pts[apex], fq, pts[p2])
+            convex = jnp.sign(o1) * jnp.sign(o2) < 0
+            # Canonical quad decision.  Cyclic order (apex, p1, far, p2):
+            # current diagonal = positions (1,3); flip target = (0,2).
+            quad = jnp.stack([apex, p1, far, p2], -1)  # [M, 4] point ids
+            order = jnp.argsort(quad, axis=-1)
+            sid = jnp.take_along_axis(quad, order, -1)
+            sp = pts[sid]  # [M, 4, 2]
+            O = robust.orient2d_ds(sp[:, 0], sp[:, 1], sp[:, 2])
+            S = robust.incircle_ds(sp[:, 0], sp[:, 1], sp[:, 2], sp[:, 3]) * (
+                jnp.sign(O)
+            )
+            p3 = order[:, 3]  # cyclic position of the largest-id vertex
+            p3_on_flip_diag = (p3 == 0) | (p3 == 2)
+            want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
+            want = want & (S != 0)
+            # Degenerate (zero-area) triangles must still be flipped away
+            # (linear_simplex.c:517-521): the canonical test with three
+            # collinear points is consistent but may elect to keep them.
+            degen_t = ~cok
+            degen_u = ~(cc[uu, 3] > 0.5)
             cand_ok = cand_ok.at[:, k].set(
-                valid_dir[:, k]
-                & convex_dir[:, k]
-                & (viol_dir[:, k] | rev)
+                valid & convex & (want | degen_t | degen_u)
             )
 
         # Mutual-minimum matching over candidate edges.
@@ -417,11 +445,12 @@ def triangulate(
     # exactly-degenerate input (collinear runs, cocircular lattices) breaks
     # the parallel flip schedule's tie handling, where the reference's
     # sequential insertion leans on epsilon tie-breaks
-    # (linear_simplex.c:535-536, edge_flip.c:244-254).  Jittering by a few
-    # hundred ulps makes every predicate decision strict and consistent;
-    # the returned triangulation still stores the EXACT coordinates, so
-    # interpolation error from the jitter is O(1e-13) in float64.
-    jit_mag = 512.0 * machine.eps(dtype)
+    # (linear_simplex.c:535-536, edge_flip.c:244-254).  A few ulps suffice —
+    # the flip predicates are compensated (ops/robust.py), so they resolve
+    # jittered ties exactly.  Keep it SMALL: jitter displaces the
+    # triangulation from the exact points, costing O(jitter/local-spacing)
+    # incircle slack and eval error (512 ulps in f32 measurably hurt).
+    jit_mag = 8.0 * machine.eps(dtype)
     prng = np.random.default_rng(12345)
     sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
 
