@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     device_delaunay,
+    geometry_extras,
     device_tri,
     host_tree,
     interp1d,

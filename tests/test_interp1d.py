@@ -217,3 +217,27 @@ class TestApi:
         sp = i1.spline(x, y, "akima")
         assert sp.name == "akima" and sp.min_size == 5
         assert np.isfinite(float(sp.eval(jnp.asarray(x[0] + 0.1))))
+
+
+class TestPeriodicContinuity:
+    def test_periodic_wrap_continuity(self):
+        # The reference's discontinuity detector for periodic splines
+        # (test_disc.c:103-121): eval at knots +- eps must agree, including
+        # across the period boundary.
+        x = np.linspace(0, 2 * np.pi, 9)
+        y = np.sin(x)
+        y[-1] = y[0]
+        for kind in ("cspline_periodic", "akima_periodic"):
+            it = i1.interp(x, y, kind)
+            eps = 1e-9
+            for xi in x[1:-1]:
+                l = float(it.eval(jnp.asarray(xi - eps)))
+                r = float(it.eval(jnp.asarray(xi + eps)))
+                assert abs(l - r) < 1e-7, (kind, xi)
+                dl = float(it.eval_deriv(jnp.asarray(xi - eps)))
+                dr = float(it.eval_deriv(jnp.asarray(xi + eps)))
+                assert abs(dl - dr) < 1e-5, (kind, xi)
+            # Periodic closure: derivative at both ends matches.
+            d0 = float(it.eval_deriv(jnp.asarray(x[0] + eps)))
+            dn = float(it.eval_deriv(jnp.asarray(x[-1] - eps)))
+            assert abs(d0 - dn) < 1e-5, kind
