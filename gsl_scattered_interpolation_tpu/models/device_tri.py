@@ -488,8 +488,11 @@ def walk_start(tri: DeviceTriangulation, q_raw):
 # ---------------------------------------------------------------------------
 
 
-# Below this many simplexes, MXU brute force beats the gather-bound walk.
+# Below this many simplexes, brute-force scoring beats the gather-bound
+# walk (measured: pallas 13 Mq/s at T=4k scaling ~1/T, walk ~3.3 Mq/s flat
+# out to T=2M; crossover ~16k).
 DENSE_LOCATE_MAX_TRIS = 16384
+PALLAS_LOCATE_MAX_TRIS = 16384
 
 
 def interp(
@@ -506,13 +509,24 @@ def interp(
     (see :func:`reindex_response`), giving the reference's fade-to-zero
     behavior near/outside the data hull; out-of-cage queries return 0.
 
-    method: "auto" picks brute force (:func:`locate_dense`) for small
-    triangulations and the visibility walk (:func:`locate`) for large ones;
+    method: "auto" picks the Pallas VMEM kernel on TPU (2D, tables fit
+    VMEM), else MXU brute force (:func:`locate_dense`) for small
+    triangulations, else the visibility walk (:func:`locate`);
     "dense"/"walk"/"pallas" force a path ("pallas" = the VMEM-resident
     TPU kernel in ops.pallas_locate, ~5x the XLA dense path; float32, 2D).
     """
     if method == "auto":
-        method = "dense" if tri.n_tris <= DENSE_LOCATE_MAX_TRIS else "walk"
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (
+            on_tpu
+            and tri.dim == 2
+            and tri.n_tris <= PALLAS_LOCATE_MAX_TRIS
+        ):
+            method = "pallas"
+        elif tri.n_tris <= DENSE_LOCATE_MAX_TRIS:
+            method = "dense"
+        else:
+            method = "walk"
     if method == "pallas":
         from ..ops import pallas_locate
 
