@@ -83,7 +83,7 @@ def _incircle_det(a, b, c, d):
 
 def _min_weight(pts, tri_v, tris, q):
     """Min barycentric weight of points q in triangles `tris` (std coords)."""
-    verts = pts[tri_v[tris]]  # [..., 3, 2]
+    verts = geometry.take_rows(pts, geometry.take_rows(tri_v, tris))
     coords, ok = geometry.bary_coords(verts, q)
     w_last = 1.0 - jnp.sum(coords, axis=-1)
     minw = jnp.minimum(jnp.min(coords, axis=-1), w_last)
@@ -92,8 +92,7 @@ def _min_weight(pts, tri_v, tris, q):
 
 def _circumcircles(pts, tri_v):
     """Centers/r2 of all triangle slots; degenerate -> ok False."""
-    verts = pts[tri_v]
-    return geometry.circumsphere(verts)
+    return geometry.circumsphere(geometry.take_rows(pts, tri_v))
 
 
 def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
@@ -104,7 +103,7 @@ def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
     into O(#changed).
     """
     safe = jnp.where(rows_valid, rows, 0)
-    center, r2, ok = geometry.circumsphere(pts[tri_v[safe]])
+    center, r2, ok = geometry.circumsphere(geometry.take_rows(pts, tri_v[safe]))
     packed = jnp.concatenate(
         [center, r2[:, None], ok[:, None].astype(center.dtype)], axis=-1
     )
@@ -167,9 +166,10 @@ def build_2d(
         cB = jnp.where(has, n_tris + 2 * rank + 1, -1).astype(jnp.int32)
         n_new = jnp.sum(has.astype(jnp.int32))
 
-        parents = jnp.nonzero(has, size=M, fill_value=M)[0]  # padded
-        pmask = parents < M
-        p = jnp.where(pmask, parents, 0)
+        # All-rows masked form (no jnp.nonzero: its sort-based lowering
+        # kills the axon compile helper at M ~ 2e6).
+        p = jnp.arange(M, dtype=jnp.int32)
+        pmask = has
         s_pid = (claim[p] + 3).astype(jnp.int32)  # point id of claimed site
         v0, v1, v2 = tri_v[p, 0], tri_v[p, 1], tri_v[p, 2]
         n0, n1, n2 = tri_n[p, 0], tri_n[p, 1], tri_n[p, 2]
@@ -262,7 +262,7 @@ def build_2d(
             quad = jnp.stack([apex, p1, far, p2], -1)  # [M, 4] point ids
             order = jnp.argsort(quad, axis=-1)
             sid = jnp.take_along_axis(quad, order, -1)
-            sp = pts[sid]  # [M, 4, 2]
+            sp = geometry.take_rows(pts, sid)  # [M, 4, 2]
             O = robust.orient2d_ds(sp[:, 0], sp[:, 1], sp[:, 2])
             S = robust.incircle_ds(sp[:, 0], sp[:, 1], sp[:, 2], sp[:, 3]) * (
                 jnp.sign(O)
@@ -466,7 +466,7 @@ def triangulate(
 
 def _owner_of_face(tri_v, cands, a, b):
     """Among candidate triangle ids [., C], the first containing verts a,b."""
-    cv = tri_v[cands]  # [., C, 3]
+    cv = geometry.take_rows(tri_v, cands)  # [., C, 3]
     has_a = jnp.any(cv == a[:, None, None], axis=-1)
     has_b = jnp.any(cv == b[:, None, None], axis=-1)
     okc = has_a & has_b & (cands >= 0)

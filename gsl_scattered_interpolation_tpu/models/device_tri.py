@@ -149,7 +149,7 @@ def affine_maps(points_raw, tri_verts, scale, shift=None):
     a poison map (w_anchor = -1e30) so the walk never reports them as
     containing.
     """
-    verts = points_raw[tri_verts]  # [T, d+1, d]
+    verts = geometry.take_rows(points_raw, tri_verts)  # [T, d+1, d]
     d = verts.shape[-1]
     origin = verts[:, d, :]
     M = jnp.swapaxes((verts[:, :d, :] - origin[:, None, :]) * scale, -1, -2)
@@ -328,6 +328,7 @@ def reindex_response(tree, response) -> jax.Array:
 
 def _weights(tri: DeviceTriangulation, cur, q_raw):
     """Full d+1 barycentric weights via the per-triangle affine maps."""
+    # (row-gather of affine; multi-dim gathers avoided: see geometry.take_rows)
     d = tri.dim
     row = tri.affine[cur]  # [B, d*d+2d] — single row-gather
     A = row[..., : d * d].reshape(*row.shape[:-1], d, d)
@@ -542,6 +543,8 @@ def interp(
         # violating weights (e.g. a query stuck at a degenerate simplex);
         # treat those as out-of-domain rather than emitting garbage.
         in_domain = in_domain & jnp.all(w > -0.5, axis=-1)
-    vals = response_ext[tri.tri_verts[leaf]]  # [B, d+1]
+    vals = geometry.take_rows(response_ext[:, None], tri.tri_verts[leaf])[
+        ..., 0
+    ]  # [B, d+1]
     out = jnp.sum(w * vals, axis=-1)
     return jnp.where(in_domain, out, 0.0)

@@ -34,7 +34,6 @@ Design differences from GSL, all TPU-motivated:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

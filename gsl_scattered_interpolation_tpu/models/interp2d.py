@@ -22,7 +22,6 @@ the edge cell (gsl_interp2d_eval_extrap, interp2d.c:160-176).
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,6 +27,19 @@ from ..utils import machine
 # ---------------------------------------------------------------------------
 
 
+def take_rows(table, idx):
+    """Gather rows of ``table`` with a multi-dimensional index, flattened.
+
+    Equivalent to ``table[idx]`` but routes through a 1-D index: the TPU
+    compiler handles flat gathers in ~1s where the batched-gather
+    dimension-numbers form takes minutes at 1e6-scale shapes (measured
+    320s -> 1.1s for one op).  Use for every gather whose index has >1
+    dimension.
+    """
+    flat = table[idx.reshape(-1)]
+    return flat.reshape(*idx.shape, *table.shape[1:])
+
+
 def standardize(x, shift, scale):
     """Map raw coordinates to standardized space: scale * (x - shift)."""
     return scale * (x - shift)

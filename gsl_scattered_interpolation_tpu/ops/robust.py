@@ -18,7 +18,6 @@ vectorized: fixed two-level expansions, no adaptivity, branch-free.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 
