@@ -83,11 +83,29 @@ def _incircle_det(a, b, c, d):
 
 
 def _min_weight(pts, tri_v, tris, q):
-    """Min barycentric weight of points q in triangles `tris` (std coords)."""
+    """Min barycentric weight of points q in triangles `tris` (std coords).
+
+    Weights are ratios of orientation determinants,
+    ``w_i = orient(q, v_{i+1}, v_{i+2}) / orient(v0, v1, v2)``, computed
+    with the compensated predicates: plain f32 weights carry
+    kappa-amplified noise that misassigns boundary sites during
+    relocation at fine spacings (~1e-3 at 1M sites), seeding inverted
+    splits.  Site-to-triangle assignment decisions must be as reliable as
+    the flip predicates.
+    """
     verts = geometry.take_rows(pts, geometry.take_rows(tri_v, tris))
-    coords, ok = geometry.bary_coords(verts, q)
-    w_last = 1.0 - jnp.sum(coords, axis=-1)
-    minw = jnp.minimum(jnp.min(coords, axis=-1), w_last)
+    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    qb = jnp.broadcast_to(q, v0.shape)
+    D = robust.orient2d_ds(v0, v1, v2)
+    O0 = robust.orient2d_ds(qb, v1, v2)
+    O1 = robust.orient2d_ds(v0, qb, v2)
+    O2 = robust.orient2d_ds(v0, v1, qb)
+    ok = D != 0
+    safe = jnp.where(ok, D, 1.0)
+    minw = jnp.minimum(jnp.minimum(O0, O1), O2) / safe
+    maxw = jnp.maximum(jnp.maximum(O0, O1), O2) / safe
+    # Dividing by a negative D flips the ordering.
+    minw = jnp.where(D > 0, minw, maxw)
     return jnp.where(ok, minw, -jnp.inf)
 
 
