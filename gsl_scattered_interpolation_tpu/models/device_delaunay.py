@@ -476,6 +476,7 @@ def triangulate(
     key=None,
     dtype=jnp.float64,
     grid_res: int = 256,
+    chunk_threshold: int = 400_000,
 ):
     """End-to-end device Delaunay: standardize, cage, shuffle, build, freeze.
 
@@ -525,9 +526,11 @@ def triangulate(
     prng = np.random.default_rng(12345)
     sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
 
-    if n > 400_000:
+    if n > chunk_threshold:
         # Host-orchestrated rounds: a single multi-minute device execution
         # would trip the TPU runtime watchdog at this scale.
+        # (chunk_threshold is a tuning knob, exposed so tests can force the
+        # chunked path on small inputs and assert build equivalence.)
         tri_v, tri_n, alive, _ = build_2d_chunked(
             jnp.asarray(sites_build, dtype), cage_std
         )

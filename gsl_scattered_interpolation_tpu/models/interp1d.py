@@ -331,8 +331,11 @@ class Interp1D:
 
     def _masked(self, vals, xq, strict):
         ok = self._domain_mask(xq)
-        if strict and not bool(jnp.all(ok)):
-            raise errors.DomainError("interpolation point outside range")
+        if strict:
+            # jit-safe: no-ops under tracing, raises on host (errors.py).
+            errors.strict_check(
+                ok, errors.DomainError, "interpolation point outside range"
+            )
         return jnp.where(ok, vals, jnp.nan)
 
     def _raw_eval(self, xq, seg_fn):
@@ -353,6 +356,27 @@ class Interp1D:
         vals = self.eval(xq)
         status = jnp.where(self._domain_mask(xq), errors.SUCCESS, errors.EDOM)
         return vals, status
+
+    def eval_deriv_e(self, xq):
+        vals = self.eval_deriv(xq)
+        status = jnp.where(self._domain_mask(xq), errors.SUCCESS, errors.EDOM)
+        return vals, status
+
+    def eval_deriv2_e(self, xq):
+        vals = self.eval_deriv2(xq)
+        status = jnp.where(self._domain_mask(xq), errors.SUCCESS, errors.EDOM)
+        return vals, status
+
+    def eval_integ_e(self, a, b):
+        vals = self.eval_integ(a, b)
+        ok = self._integ_mask(jnp.asarray(a), jnp.asarray(b))
+        return vals, jnp.where(ok, errors.SUCCESS, errors.EDOM)
+
+    def _integ_mask(self, a, b):
+        # gsl_interp_eval_integ_e (integ_eval.h/interp.c): limits must lie
+        # in-domain AND satisfy a <= b — a reversed interval is EDOM, not a
+        # signed integral.
+        return self._domain_mask(a) & self._domain_mask(b) & (a <= b)
 
     def eval_deriv(self, xq, strict: bool = False):
         xq = jnp.asarray(xq)
@@ -402,9 +426,11 @@ class Interp1D:
                 return prefix[i] + _seg_antideriv(self.coef[i], t - self.x[i])
 
             vals = upto(b) - upto(a)
-        ok = self._domain_mask(a) & self._domain_mask(b)
-        if strict and not bool(jnp.all(ok)):
-            raise errors.DomainError("integration limits outside range")
+        ok = self._integ_mask(a, b)
+        if strict:
+            errors.strict_check(
+                ok, errors.DomainError, "integration limits outside range"
+            )
         return jnp.where(ok, vals, jnp.nan)
 
 

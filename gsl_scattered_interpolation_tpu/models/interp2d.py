@@ -243,8 +243,11 @@ class Interp2D:
             & (yq >= self.y[0])
             & (yq <= self.y[-1])
         )
-        if strict and not bool(jnp.all(ok)):
-            raise errors.DomainError("interpolation point outside range")
+        if strict:
+            # jit-safe: no-ops under tracing, raises on host (errors.py).
+            errors.strict_check(
+                ok, errors.DomainError, "interpolation point outside range"
+            )
         return jnp.where(ok, vals, jnp.nan)
 
     def eval(self, xq, yq, strict: bool = False):

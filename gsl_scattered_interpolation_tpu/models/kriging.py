@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rbf
-from ..utils import errors
+from ..utils import config, errors
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -70,11 +70,23 @@ class Variogram(NamedTuple):
 def empirical_variogram(
     sites_std, values, n_bins: int = 15, max_pairs_sites: int = 2000, key=0
 ):
-    """(bin_centers, gamma_hat, counts) from standardized sites."""
+    """(bin_centers, gamma_hat, counts) from standardized sites.
+
+    Above ``max_pairs_sites`` sites, the all-pairs pass runs on a random
+    subsample (the estimate stays unbiased; only its variance grows).
+    Subsampling is never silent: it is logged and recorded on the result
+    via the OrdinaryKriging.variogram_subsampled attribute.
+    """
     sites_std = jnp.asarray(sites_std)
     values = jnp.asarray(values)
     n = sites_std.shape[0]
     if n > max_pairs_sites:
+        config.log.info(
+            "empirical_variogram: subsampling %d of %d sites for the "
+            "all-pairs pass (raise max_pairs_sites to use more)",
+            max_pairs_sites,
+            n,
+        )
         idx = jax.random.choice(
             jax.random.key(key), n, (max_pairs_sites,), replace=False
         )
@@ -174,8 +186,13 @@ class OrdinaryKriging:
             self.scale = np.ones(d)
         self.xs = jnp.asarray(self.scale * (sites - self.shift))
         self.values = jnp.asarray(values)
+        # Records whether the auto-fitted variogram saw a subsample (see
+        # empirical_variogram's default max_pairs_sites); user-supplied
+        # variograms are whatever the user fitted them on.
+        self.variogram_subsampled = False
         if variogram is None:
             c, g, w = empirical_variogram(self.xs, self.values)
+            self.variogram_subsampled = n > 2000
             variogram = fit_variogram(c, g, w, model=model)
         self.variogram = variogram
 

@@ -205,10 +205,12 @@ class RbfInterp:
                 K = jnp.concatenate([top, bot], axis=0)
                 rhs = jnp.concatenate([y, jnp.zeros(m, A.dtype)])
                 sol = jnp.linalg.solve(K, rhs[:, None])[:, 0]
-                if not bool(jnp.all(jnp.isfinite(sol))):
-                    raise errors.SingularError(
-                        "singular RBF system (duplicate sites?)"
-                    )
+                # jit-safe singularity report (no-op under tracing).
+                errors.strict_check(
+                    jnp.all(jnp.isfinite(sol)),
+                    errors.SingularError,
+                    "singular RBF system (duplicate sites?)",
+                )
                 self.lam = sol[:n]
                 self.poly_coef = sol[n:]
         else:

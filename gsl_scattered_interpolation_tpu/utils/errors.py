@@ -73,3 +73,23 @@ def check_status(status: int, msg: str = "") -> None:
     if status == SUCCESS:
         return
     raise _CODE_TO_EXC.get(status, GslError)(msg or f"status={status}")
+
+
+def strict_check(ok, exc: type[GslError], msg: str) -> None:
+    """Raise ``exc`` on the host if any entry of ``ok`` is False.
+
+    jit-safe: under tracing (jit/vmap/grad) the value cannot be inspected
+    without a host sync, so the check silently no-ops — out-of-domain
+    entries are still reported through the NaN/EDOM data path, matching
+    GSL's ``_e`` convention (interp.c:131-151).  Eager callers get the
+    exception, matching GSL's default error handler.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        bad = not bool(jnp.all(ok))
+    except jax.errors.TracerBoolConversionError:
+        return
+    if bad:
+        raise exc(msg)

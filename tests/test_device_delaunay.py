@@ -89,6 +89,24 @@ class TestBuild:
             n_data=len(pts),
         )
 
+    def test_chunked_equals_single(self):
+        # The host-orchestrated chunked build (the only path that runs at
+        # north-star scale) must produce the identical triangulation to the
+        # single-program build; force it via chunk_threshold.
+        sites = _rand(700, 11)
+        tri_a, sh_a = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        tri_b, sh_b = dd.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, chunk_threshold=100
+        )
+        np.testing.assert_array_equal(sh_a, sh_b)
+        assert _alive_simplex_set(tri_a) == _alive_simplex_set(tri_b)
+        integrity.check_arrays(
+            np.asarray(tri_b.points_std),
+            tri_b.tri_verts,
+            tri_b.tri_nbrs,
+            n_data=len(sites),
+        )
+
     def test_weather_end_to_end(self):
         sites, temps = datasets.weather()
         tri, shuffle = dd.triangulate(sites, key=0)

@@ -241,3 +241,39 @@ class TestPeriodicContinuity:
             d0 = float(it.eval_deriv(jnp.asarray(x[0] + eps)))
             dn = float(it.eval_deriv(jnp.asarray(x[-1] - eps)))
             assert abs(d0 - dn) < 1e-5, kind
+
+
+class TestStatusAndStrict:
+    def test_integ_reversed_limits_edom(self):
+        # gsl_interp_eval_integ_e rejects a > b as EDOM (interp.c
+        # semantics): NaN value + EDOM status, never a signed integral.
+        x, y = _data()
+        it = i1.interp(x, y, "cspline")
+        a = jnp.asarray([float(x[2])])
+        b = jnp.asarray([float(x[1])])
+        vals, status = it.eval_integ_e(a, b)
+        assert np.isnan(np.asarray(vals)).all()
+        assert (np.asarray(status) == errors.EDOM).all()
+        with np.testing.assert_raises(errors.DomainError):
+            it.eval_integ(a, b, strict=True)
+
+    def test_deriv_e_variants(self):
+        x, y = _data()
+        it = i1.interp(x, y, "cspline")
+        q = jnp.asarray([float(x[1]), float(x[-1]) + 1.0])
+        for fn in (it.eval_deriv_e, it.eval_deriv2_e):
+            vals, status = fn(q)
+            assert np.asarray(status).tolist() == [
+                errors.SUCCESS,
+                errors.EDOM,
+            ]
+            assert np.isnan(np.asarray(vals)[1])
+
+    def test_strict_is_jit_safe(self):
+        # strict=True must not force a host sync under jit: tracing
+        # succeeds and out-of-domain entries surface as NaN.
+        x, y = _data()
+        it = i1.interp(x, y, "linear")
+        f = jax.jit(lambda q: it.eval(q, strict=True))
+        out = np.asarray(f(jnp.asarray([float(x[0]), float(x[-1]) + 5.0])))
+        assert np.isfinite(out[0]) and np.isnan(out[1])
