@@ -1,0 +1,329 @@
+"""Compactly-supported ("fast") RBF at scale: cell-list Wendland fitting.
+
+The reference README plans "compactly supported radial basis functions"
+and "fast RBF interpolation" (README:22-23) but implements neither.  The
+dense path in :mod:`rbf` treats Wendland like any kernel — an O(N^2)
+matvec that cannot reach the 1M-site north-star config.  This module is
+the TPU-native design that exploits compact support:
+
+* **Cell-list structure** (built once at fit): sites are bucketed into a
+  uniform grid whose cell size equals the support radius ``rho = 1/eps``,
+  sorted by cell, and padded to a fixed per-cell capacity — an SoA layout
+  ``[n_cells_y, n_cells_x, cap, d]``.  Pad slots hold far-away poison
+  coordinates, so ``phi = 0`` kills them with no masking.
+* **Dense 9-stencil matvec**: a site only interacts with its own and the
+  8 adjacent cells.  For each of the 9 offsets the neighbor block is a
+  ``jnp.roll`` of the padded array (pure data movement, no gathers), and
+  the contribution is one batched ``[C, cap, cap] x [C, cap]`` contraction
+  — MXU-shaped batched matmuls instead of sparse scatter/gathers.  Grid
+  wrap-around needs no masking either: wrapped pairs are >= (domain -
+  2 rho) apart, outside the support.  Total work is O(N * avg_neighbors),
+  not O(N^2).
+* **CG solver** on the (strictly PD) compact kernel, entirely jit-able;
+  the multi-device ring variant lives in parallel/ring.py (halo exchange
+  via lax.ppermute — the SP/ring-attention analog of SURVEY §2e).
+* **Evaluation** buckets queries into the same grid and sums the 9
+  neighboring cells' contributions per query — one [B, 9*cap] weight
+  contraction.
+
+Reference anchors: the Cholesky its dependency closure carried for the
+planned RBF path (linalg/gsl_linalg.h:471-474); kernel definition matches
+rbf.KERNELS["wendland_c2"] exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rbf
+from ..utils import config, errors
+
+HIGHEST = jax.lax.Precision.HIGHEST
+# Pad-slot coordinate: far outside any standardized data range so every
+# distance leaves the compact support.  Must stay f32-SAFE under squaring:
+# 1e30 would overflow to inf and produce 0*inf = NaN inside wendland.
+_POISON = 1e8
+
+
+class CellGrid(NamedTuple):
+    """Padded cell-list layout of standardized sites."""
+
+    xs_pad: jax.Array    # [Gy, Gx, cap, d] site coords (poison in pads)
+    slot_site: jax.Array  # [Gy, Gx, cap] original site row or -1 (pads)
+    n_sites: int
+    cell_size: float     # >= support radius
+    origin: jax.Array    # [d] grid origin in standardized coords
+
+    @property
+    def shape(self):
+        return self.xs_pad.shape[:2]
+
+    @property
+    def cap(self) -> int:
+        return self.xs_pad.shape[2]
+
+
+def build_cell_grid(xs_std: np.ndarray, rho: float) -> CellGrid:
+    """Bucket standardized sites into a cell grid with cell size >= rho.
+
+    Host-side, runs once per fit.  Capacity = max cell occupancy (no
+    silent truncation is possible by construction).
+    """
+    xs_std = np.asarray(xs_std, np.float64)
+    n, d = xs_std.shape
+    if d != 2:
+        raise errors.InvalidArgumentError(
+            "cell-list compact RBF is 2D for now (d=%d)" % d
+        )
+    lo = xs_std.min(0)
+    hi = xs_std.max(0)
+    ext = np.maximum(hi - lo, 1e-300)
+    G = np.maximum(np.floor(ext / rho).astype(int), 1)
+    cell = ext / G  # >= rho per axis
+    ij = np.minimum((xs_std - lo) / cell, G - 1).astype(np.int64)
+    ij = np.maximum(ij, 0)
+    flat = ij[:, 0] * G[1] + ij[:, 1]
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=G[0] * G[1])
+    cap = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot_site = np.full((G[0] * G[1], cap), -1, np.int32)
+    within = np.arange(n) - starts[flat[order]]
+    slot_site[flat[order], within] = order.astype(np.int32)
+    xs_pad = np.full((G[0] * G[1], cap, d), _POISON, np.float64)
+    xs_pad[flat[order], within] = xs_std[order]
+    return CellGrid(
+        xs_pad=jnp.asarray(xs_pad.reshape(G[0], G[1], cap, d)),
+        slot_site=jnp.asarray(slot_site.reshape(G[0], G[1], cap)),
+        n_sites=n,
+        cell_size=float(cell.max()),
+        origin=jnp.asarray(lo),
+    )
+
+
+def pack_values(grid: CellGrid, values) -> jax.Array:
+    """Site-ordered vector -> padded [Gy, Gx, cap] layout (pads = 0)."""
+    v = jnp.asarray(values)
+    safe = jnp.where(grid.slot_site >= 0, grid.slot_site, 0)
+    return jnp.where(grid.slot_site >= 0, v[safe], 0.0)
+
+
+def unpack_values(grid: CellGrid, v_pad) -> jax.Array:
+    """Padded layout -> site-ordered vector."""
+    out = jnp.zeros(grid.n_sites, v_pad.dtype)
+    tgt = jnp.where(
+        grid.slot_site >= 0, grid.slot_site, grid.n_sites
+    ).reshape(-1)
+    return out.at[tgt].set(v_pad.reshape(-1), mode="drop")
+
+
+def _stencil_offsets(d: int = 2):
+    return [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+
+def matvec_pad(grid: CellGrid, phi, eps, smooth, v_pad):
+    """(A + smooth I) v in padded layout: dense 9-stencil contraction.
+
+    For each neighbor offset, rolls the padded site/value blocks into
+    alignment and contracts ``phi(dist)`` against the neighbor values —
+    batched [C, cap, cap] x [C, cap] matmuls, zero gathers.  Wrapped and
+    pad entries die through phi (distance > support).
+    """
+    xs = grid.xs_pad
+    Gy, Gx, cap, d = xs.shape
+    out = smooth * v_pad
+
+    def contrib(nx, nv):
+        # [Gy, Gx, cap_i, cap_j] pair distances per cell pair
+        diff = xs[:, :, :, None, :] - nx[:, :, None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        K = phi(jnp.sqrt(d2), eps)
+        return jnp.einsum(
+            "yxij,yxj->yxi", K, nv, precision=HIGHEST
+        )
+
+    for di, dj in _stencil_offsets():
+        nx = jnp.roll(xs, (-di, -dj), axis=(0, 1))
+        nv = jnp.roll(v_pad, (-di, -dj), axis=(0, 1))
+        out = out + contrib(nx, nv)
+    return out
+
+
+def _cg_pad(grid, phi, eps, smooth, y_pad, tol, maxiter):
+    """CG on the padded layout; scalars reduce over real slots only."""
+    mask = (grid.slot_site >= 0).astype(y_pad.dtype)
+
+    def dot(a, b):
+        return jnp.sum(a * b * mask)
+
+    def mv(v):
+        return matvec_pad(grid, phi, eps, smooth, v) * mask
+
+    b2 = dot(y_pad, y_pad)
+    target = tol * tol * b2
+
+    def cond(state):
+        *_, rs, it = state
+        return jnp.logical_and(rs > target, it < maxiter)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Ap = mv(p)
+        alpha = rs / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = dot(r, r)
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new, it + 1
+
+    x0 = jnp.zeros_like(y_pad)
+    x, _, _, rs, it = jax.lax.while_loop(
+        cond, body, (x0, y_pad, y_pad, b2, jnp.int32(0))
+    )
+    return x, rs, it
+
+
+class CompactRbf:
+    """Wendland-C2 interpolant built on the cell list (strictly PD, d<=3).
+
+    Args:
+      sites: [N, 2] raw coordinates.
+      values: [N].
+      epsilon: inverse support radius in standardized coords.  Default
+        picks the support so each site sees ~``target_neighbors`` others
+        (pi rho^2 N = target).
+      smooth: ridge on the diagonal (0 interpolates exactly).
+      tol / maxiter: CG stopping controls.
+    """
+
+    def __init__(
+        self,
+        sites,
+        values,
+        epsilon: float | None = None,
+        smooth: float = 0.0,
+        tol: float = 1e-8,
+        maxiter: int = 1000,
+        standardize: bool = True,
+        dtype=None,
+    ):
+        sites = np.asarray(sites, np.float64)
+        values = np.asarray(values, np.float64)
+        n, d = sites.shape
+        if values.shape != (n,):
+            raise errors.InvalidArgumentError("values shape mismatch")
+        if standardize:
+            lo, hi = sites.min(0), sites.max(0)
+            self.shift = (lo + hi) / 2.0
+            ext = hi - lo
+            self.scale = np.where(ext > 0, 1.0 / np.where(ext > 0, ext, 1), 1.0)
+        else:
+            self.shift = np.zeros(d)
+            self.scale = np.ones(d)
+        xs_std = self.scale * (sites - self.shift)
+        if epsilon is None:
+            target_neighbors = 40.0
+            rho = float(np.sqrt(target_neighbors / (np.pi * n)))
+            epsilon = 1.0 / rho
+        self.epsilon = float(epsilon)
+        self.smooth = float(smooth)
+        self.kernel = rbf.KERNELS["wendland_c2"]
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        self.grid = build_cell_grid(xs_std, 1.0 / self.epsilon)
+        self.grid = self.grid._replace(
+            xs_pad=self.grid.xs_pad.astype(dtype)
+        )
+        occ = float(n) / (self.grid.shape[0] * self.grid.shape[1])
+        config.log.info(
+            "CompactRbf: grid %s cap %d (avg occupancy %.1f), eps=%.4g",
+            self.grid.shape,
+            self.grid.cap,
+            occ,
+            self.epsilon,
+        )
+        y_pad = pack_values(self.grid, jnp.asarray(values, dtype))
+
+        fit = jax.jit(
+            functools.partial(
+                _cg_pad,
+                self.grid,
+                self.kernel.phi,
+                jnp.asarray(self.epsilon, dtype),
+                jnp.asarray(self.smooth, dtype),
+                tol=tol,
+                maxiter=maxiter,
+            )
+        )
+        lam_pad, rs, it = fit(y_pad)
+        self.lam_pad = lam_pad
+        self.cg_iters = int(it)
+        self.cg_residual = float(jnp.sqrt(rs))
+        self.values = jnp.asarray(values, dtype)
+
+    @property
+    def lam(self) -> jax.Array:
+        """Coefficients in original site order."""
+        return unpack_values(self.grid, self.lam_pad)
+
+    def eval(self, q):
+        """Interpolant at [B, 2] raw queries: 9-cell neighbor sums."""
+        q = jnp.atleast_2d(jnp.asarray(q))
+        dtype = self.grid.xs_pad.dtype
+        qs = (
+            jnp.asarray(self.scale, dtype)
+            * (q.astype(dtype) - jnp.asarray(self.shift, dtype))
+        )
+        return _eval_cells(
+            self.grid,
+            self.kernel.phi,
+            jnp.asarray(self.epsilon, dtype),
+            self.lam_pad,
+            qs,
+        )
+
+    def residual(self):
+        """Max |s(x_i) - y_i| over the sites (fit diagnostic)."""
+        pred_pad = matvec_pad(
+            self.grid,
+            self.kernel.phi,
+            jnp.asarray(self.epsilon, self.grid.xs_pad.dtype),
+            jnp.asarray(0.0, self.grid.xs_pad.dtype),
+            self.lam_pad,
+        )
+        pred = unpack_values(self.grid, pred_pad)
+        return jnp.max(jnp.abs(pred + self.smooth * self.lam - self.values))
+
+
+def _eval_cells(grid: CellGrid, phi, eps, lam_pad, qs):
+    """Sum phi(|q - x_j|) lam_j over the 9 cells around each query."""
+    Gy, Gx, cap, d = grid.xs_pad.shape
+    cell = jnp.asarray(grid.cell_size, qs.dtype)
+    ij = jnp.floor((qs - grid.origin.astype(qs.dtype)) / cell).astype(
+        jnp.int32
+    )
+    iy = jnp.clip(ij[:, 0], 0, Gy - 1)
+    ix = jnp.clip(ij[:, 1], 0, Gx - 1)
+    out = jnp.zeros(qs.shape[0], qs.dtype)
+    xs_flat = grid.xs_pad.reshape(Gy * Gx, cap, d)
+    lam_flat = lam_pad.reshape(Gy * Gx, cap)
+    for di, dj in _stencil_offsets():
+        ny = jnp.clip(iy + di, 0, Gy - 1)
+        nx = jnp.clip(ix + dj, 0, Gx - 1)
+        # Suppress double counting when clipping collapses offsets.
+        valid = ((iy + di) == ny) & ((ix + dj) == nx)
+        rows = ny * Gx + nx
+        xb = xs_flat[rows]        # [B, cap, d] row gather
+        lb = lam_flat[rows]       # [B, cap]
+        diff = qs[:, None, :] - xb
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        out = out + jnp.where(
+            valid, jnp.sum(phi(r, eps) * lb, axis=-1), 0.0
+        )
+    return out

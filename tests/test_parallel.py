@@ -95,3 +95,69 @@ class TestRbfSharded:
         )
         got = np.asarray(f(xs, v))
         np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+class TestRingCompactRbf:
+    """Ring ppermute halo-exchange path vs single-device cell-list CG."""
+
+    def _mesh_sp(self):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:8]), ("sp",))
+
+    def test_matvec_ring_matches_local(self):
+        from gsl_scattered_interpolation_tpu.models import rbf, rbf_compact
+        from gsl_scattered_interpolation_tpu.parallel import ring
+
+        rng = np.random.default_rng(0)
+        sites = rng.uniform(-0.5, 0.5, size=(900, 2))
+        vals = np.sin(4 * sites[:, 0]) + sites[:, 1]
+        eps = 10.0
+        grid = rbf_compact.build_cell_grid(sites, rho=1.0 / eps)
+        mesh = self._mesh_sp()
+        grid = ring.pad_grid_rows(grid, mesh.shape["sp"])
+        phi = rbf.KERNELS["wendland_c2"].phi
+        v_pad = rbf_compact.pack_values(grid, jnp.asarray(vals))
+        want = rbf_compact.matvec_pad(grid, phi, eps, 0.5, v_pad)
+
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda xs, v: ring.matvec_ring(xs, v, phi, eps, 0.5, "sp"),
+                mesh=mesh,
+                in_specs=(P("sp"), P("sp")),
+                out_specs=P("sp"),
+                check_vma=False,
+            )
+        )
+        got = f(grid.xs_pad, v_pad)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12
+        )
+
+    def test_fit_cg_ring_matches_dense(self):
+        from gsl_scattered_interpolation_tpu.models import rbf, rbf_compact
+        from gsl_scattered_interpolation_tpu.parallel import ring
+
+        rng = np.random.default_rng(1)
+        sites = rng.uniform(-0.5, 0.5, size=(500, 2))
+        vals = np.cos(3 * sites[:, 0]) * sites[:, 1]
+        eps = 8.0
+        grid = rbf_compact.build_cell_grid(sites, rho=1.0 / eps)
+        mesh = self._mesh_sp()
+        grid = ring.pad_grid_rows(grid, mesh.shape["sp"])
+        y_pad = rbf_compact.pack_values(grid, jnp.asarray(vals))
+        lam_pad, res, it = ring.fit_cg_ring(
+            grid, y_pad, mesh, epsilon=eps, tol=1e-13, maxiter=5000
+        )
+        lam = rbf_compact.unpack_values(grid, lam_pad)
+        dense = rbf.RbfInterp(
+            sites, vals, kernel="wendland_c2", epsilon=eps,
+            solver="cg", cg_tol=1e-13, cg_maxiter=5000, standardize=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lam), np.asarray(dense.lam), atol=1e-6
+        )
