@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils import errors
+from ..ops import morton
+from ..utils import config, errors
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -125,8 +126,11 @@ class RbfInterp:
         coords, except thin_plate/cubic/linear which are shape-free.
       smooth: ridge added to the kernel diagonal (smoothing spline);
         0.0 interpolates exactly.
-      solver: "direct" (Cholesky/LU) or "cg" (matrix-free, strictly PD
-        kernels only); "auto" picks direct for N <= 8192.
+      solver: "direct" (Cholesky/LU), "cg" (matrix-free), or "pcg"
+        (matrix-free projected CG with a Morton-blocked additive-Schwarz
+        preconditioner — the at-scale path for conditionally-PD kernels
+        like thin_plate; north-star config 3); "auto" picks direct for
+        N <= 8192, else pcg for poly-augmented kernels and cg otherwise.
       standardize: measure radii in scale*(x-shift) coordinates.
     """
 
@@ -142,6 +146,8 @@ class RbfInterp:
         cg_tol: float = 1e-10,
         cg_maxiter: int = 500,
         block: int = 4096,
+        precond_neighbors: int = 50,
+        precond_anchors: int = 12,
     ):
         if kernel not in KERNELS:
             raise errors.InvalidArgumentError(
@@ -172,8 +178,13 @@ class RbfInterp:
         self.smooth = float(smooth)
 
         if solver == "auto":
-            solver = "direct" if n <= 8192 else "cg"
+            if n <= 8192:
+                solver = "direct"
+            else:
+                solver = "pcg" if self.kernel.poly_degree >= 0 else "cg"
         self.solver = solver
+        self._precond_q = int(precond_neighbors)
+        self._precond_anchors = int(precond_anchors)
         self._fit(cg_tol, cg_maxiter, block)
 
     # -- fitting ----------------------------------------------------------
@@ -213,6 +224,21 @@ class RbfInterp:
                 )
                 self.lam = sol[:n]
                 self.poly_coef = sol[n:]
+        elif self.solver == "pcg":
+            # Morton-order the sites so preconditioner blocks are
+            # spatially coherent, fit, then un-permute the coefficients.
+            order = morton.morton_order(np.asarray(xs))
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size)
+            xs_m = xs[order]
+            P = _poly_basis(xs_m, self.kernel.poly_degree)
+            lam_m, self.poly_coef, info = _projected_pcg_matfree(
+                xs_m, y[jnp.asarray(order)], P, phi, eps, self.smooth,
+                cg_tol, cg_maxiter, block,
+                q=self._precond_q, n_anchor=self._precond_anchors,
+            )
+            self.lam = lam_m[jnp.asarray(inv)]
+            self.solve_info = info
         else:
             P = _poly_basis(xs, self.kernel.poly_degree)
             if P.shape[1] == 0:
@@ -304,6 +330,200 @@ def _projected_cg_matfree(xs, y, P, phi, eps, smooth, tol, maxiter, block):
     lam = proj(lam)
     c = jax.scipy.linalg.solve_triangular(R, Q.T @ (y - matvec(lam)))
     return lam, c
+
+
+def _local_lagrange_precond(
+    xs, phi, eps, m: int, q: int = 50, n_anchor: int = 12, chunk: int = 4096
+):
+    """Local-Lagrange preconditioner for conditionally-PD kernels.
+
+    The classic fast-fitting construction (Faul–Powell / Beatson–Cherrie–
+    Mouat): for every site i, solve a LOCAL interpolation problem over its
+    ``q`` nearest neighbors plus ``n_anchor`` globally spread anchor sites
+    — the cardinal (Lagrange) rhs ``e_i`` with the polynomial constraint —
+    giving one sparse row ``C[i]`` of an approximate inverse ``C ~= A^-1``
+    (``A C^T ~= I`` because the local cardinal function nearly vanishes at
+    all data sites).  The anchors carry the smooth/global modes that pure
+    k-NN sets miss; every row satisfies its local constraint, so ``C^T r``
+    lies in the global constraint space by construction.
+
+    Build: one cKDTree query (host) + batched LU solves of
+    [N, q+n_anchor+m, .] local saddles, chunked with lax.map so peak
+    memory stays O(chunk * width^2).  Apply is a gather + row-dot and the
+    transposed scatter; PCG uses the symmetrized (C + C^T)/2.
+    """
+    from scipy.spatial import cKDTree
+
+    xs_h = np.asarray(xs)
+    n, d = xs_h.shape
+    q = min(q, n)
+    tree = cKDTree(xs_h)
+    _, nbrs = tree.query(xs_h, k=q)
+    nbrs = nbrs.reshape(n, q).astype(np.int32)  # col 0 == i itself
+    # Anchors: Morton-strided global sites (xs is Morton-ordered upstream),
+    # deduplicated against the neighbor set by masking later.
+    anchors = np.linspace(0, n - 1, n_anchor, dtype=np.int32)
+    L = np.concatenate(
+        [nbrs, np.broadcast_to(anchors, (n, n_anchor)).copy()], axis=1
+    )  # [n, w]
+    w = L.shape[1]
+    # Duplicate columns (an anchor already among the neighbors) make the
+    # local system singular: shift duplicates to poison coords instead.
+    dup = np.zeros((n, w), bool)
+    srt = np.sort(L, axis=1)
+    eq = srt[:, 1:] == srt[:, :-1]
+    # mark the *later* occurrence as duplicate via rank trick
+    order = np.argsort(L, axis=1, kind="stable")
+    dup_sorted = np.concatenate([np.zeros((n, 1), bool), eq], axis=1)
+    np.put_along_axis(dup, order, dup_sorted, axis=1)
+
+    L_j = jnp.asarray(L)
+    dup_j = jnp.asarray(dup)
+    xs_j = jnp.asarray(xs)
+
+    def solve_chunk(args):
+        Lc, dupc = args  # [c, w], [c, w]
+        xb = xs_j[Lc]  # [c, w, d]
+        xb = jnp.where(dupc[..., None], 1e8, xb)
+        diff = xb[:, :, None, :] - xb[:, None, :, :]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        A = phi(r, eps)
+        # decouple poisoned rows: identity diagonal, zero elsewhere
+        keep = ~dupc
+        A = jnp.where(keep[:, :, None] & keep[:, None, :], A, 0.0)
+        eye = jnp.eye(w, dtype=A.dtype)
+        A = A + jnp.where(dupc[:, :, None], eye, 0.0)
+        rhs_card = jnp.zeros((Lc.shape[0], w), A.dtype).at[:, 0].set(1.0)
+        if m:
+            Pb = _poly_basis_batched(xb, 1 if m == 3 else 0)
+            Pb = jnp.where(keep[..., None], Pb, 0.0)
+            top = jnp.concatenate([A, Pb], axis=2)
+            bot = jnp.concatenate(
+                [
+                    jnp.swapaxes(Pb, 1, 2),
+                    jnp.zeros((Lc.shape[0], m, m), A.dtype),
+                ],
+                axis=2,
+            )
+            K = jnp.concatenate([top, bot], axis=1)
+            rhs = jnp.concatenate(
+                [rhs_card, jnp.zeros((Lc.shape[0], m), A.dtype)], axis=1
+            )
+        else:
+            K, rhs = A, rhs_card
+        sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+        return sol[:, :w] * keep  # poisoned slots contribute 0
+
+    pad = (-n) % chunk
+    L_pad = jnp.concatenate([L_j, jnp.zeros((pad, w), jnp.int32)])
+    dup_pad = jnp.concatenate([dup_j, jnp.ones((pad, w), bool)])
+    # poison everything in pad rows except slot 0 (identity row, solvable)
+    dup_pad = dup_pad.at[n:, 0].set(False)
+    C = jax.lax.map(
+        solve_chunk,
+        (
+            L_pad.reshape(-1, chunk, w),
+            dup_pad.reshape(-1, chunk, w),
+        ),
+    ).reshape(-1, w)[:n]
+
+    def apply(r):
+        rn = r[L_j]  # [n, w] gather
+        Cr = jnp.sum(C * jnp.where(dup_j, 0.0, rn), axis=1)
+        # C^T r: scatter-add of C[i, j] * r[i] into L[i, j]
+        contrib = C * jnp.where(dup_j, 0.0, r[:, None])
+        CTr = jnp.zeros_like(r).at[L_j.reshape(-1)].add(
+            contrib.reshape(-1)
+        )
+        return 0.5 * (Cr + CTr)
+
+    return apply
+
+
+def _poly_basis_batched(x, degree: int):
+    """[.., w, m] polynomial tail basis over batched point sets."""
+    ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+    if degree < 1:
+        return ones
+    return jnp.concatenate([ones, x], axis=-1)
+
+
+def _projected_pcg_matfree(
+    xs, y, P, phi, eps, smooth, tol, maxiter, block,
+    q: int = 50, n_anchor: int = 12,
+):
+    """Preconditioned projected CG — the at-scale conditionally-PD solver.
+
+    Same constraint-subspace formulation as :func:`_projected_cg_matfree`
+    (Pi A Pi on {P^T lam = 0}), with the Morton-block additive-Schwarz
+    preconditioner of :func:`_block_saddle_precond`.  Cuts iteration
+    counts by ~an order of magnitude on thin-plate systems, which is what
+    makes the 100k-site < 10 s target reachable (north-star config 3).
+
+    Returns (lam, poly_coef, info dict with iters/residual).
+    """
+    n = xs.shape[0]
+    m = P.shape[1]
+    if m:
+        Q, R = jnp.linalg.qr(P)
+
+        def proj(v):
+            return v - Q @ (Q.T @ v)
+
+    else:
+
+        def proj(v):
+            return v
+
+    matvec = _make_block_matvec(xs, phi, eps, smooth, block)
+    pre = _local_lagrange_precond(xs, phi, eps, m, q=q, n_anchor=n_anchor)
+
+    def pmv(v):
+        return proj(matvec(proj(v)))
+
+    def prec(r):
+        # Tiny identity shift keeps M strictly PD on the subspace even if
+        # some block's local solve annihilates this residual.
+        return proj(pre(r) + 1e-8 * r)
+
+    b = proj(y)
+    b2 = jnp.vdot(b, b)
+    target = tol * tol * b2
+
+    def cond(state):
+        *_, rs, _rz, it = state
+        return jnp.logical_and(rs > target, it < maxiter)
+
+    def body(state):
+        x, r, p, z, rs, rz, it = state
+        Ap = pmv(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z_new = prec(r)
+        rz_new = jnp.vdot(r, z_new)
+        p = z_new + (rz_new / rz) * p
+        return x, r, p, z_new, jnp.vdot(r, r), rz_new, it + 1
+
+    x0 = jnp.zeros_like(y)
+    z0 = prec(b)
+    state = (x0, b, z0, z0, b2, jnp.vdot(b, z0), jnp.int32(0))
+    x, r, *_, rs, _rz, it = jax.lax.while_loop(cond, body, state)
+    lam = proj(x)
+    if m:
+        c = jax.scipy.linalg.solve_triangular(R, Q.T @ (y - matvec(lam)))
+    else:
+        c = jnp.zeros(0, xs.dtype)
+    info = {
+        "iters": int(it),
+        "rel_residual": float(jnp.sqrt(rs / b2)),
+    }
+    config.log.info(
+        "projected PCG: %d iters, rel residual %.2e",
+        info["iters"],
+        info["rel_residual"],
+    )
+    return lam, c, info
 
 
 def _make_block_matvec(xs, phi, eps, smooth, block):

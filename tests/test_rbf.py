@@ -156,3 +156,35 @@ class TestApi:
         x = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
         with pytest.raises(errors.SingularError):
             rbf.RbfInterp(x, np.arange(4.0), kernel="thin_plate")
+
+
+class TestProjectedPcg:
+    """Local-Lagrange preconditioned projected CG (the at-scale TPS path)."""
+
+    def test_pcg_matches_direct_tps(self):
+        rng = np.random.default_rng(7)
+        sites = rng.uniform(-1, 1, size=(1500, 2))
+        vals = np.sin(3 * sites[:, 0]) * np.cos(2 * sites[:, 1])
+        direct = rbf.RbfInterp(sites, vals, kernel="thin_plate",
+                               solver="direct")
+        m = rbf.RbfInterp(sites, vals, kernel="thin_plate", solver="pcg",
+                          cg_tol=1e-12, cg_maxiter=500)
+        # north-star accuracy: 1e-8 weights vs the f64 direct oracle
+        scale = float(jnp.max(jnp.abs(direct.lam)))
+        err = float(jnp.max(jnp.abs(m.lam - direct.lam))) / scale
+        assert err < 1e-8, err
+        np.testing.assert_allclose(
+            np.asarray(m.poly_coef), np.asarray(direct.poly_coef),
+            rtol=1e-6, atol=1e-9,
+        )
+        # convergence must be preconditioned-fast, not plain-CG-slow
+        assert m.solve_info["iters"] < 150, m.solve_info
+
+    def test_pcg_interpolates(self):
+        rng = np.random.default_rng(8)
+        sites = rng.uniform(0, 10, size=(800, 2))
+        vals = sites[:, 0] ** 2 - sites[:, 1]
+        m = rbf.RbfInterp(sites, vals, kernel="thin_plate", solver="pcg",
+                          cg_tol=1e-12, cg_maxiter=500)
+        at = np.asarray(m.eval(sites))
+        np.testing.assert_allclose(at, vals, atol=1e-6)
