@@ -443,6 +443,10 @@ def build_2d_chunked(
     watchdog, and progress is observable.  Dispatch overhead is a few ms
     per round over ~O(log N) rounds: negligible.
     """
+    import time as _time
+
+    from ..utils import config
+
     N = sites_std.shape[0]
     dtype = sites_std.dtype
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
@@ -458,12 +462,31 @@ def build_2d_chunked(
         return _flip_rounds(pts, st, cleanup_chunk)
 
     st = _init_state(pts, N)
+    rounds = 0
+    t0 = _time.perf_counter()
     while int(st.n_left) > 0:
         st = one_round(pts, st)
+        rounds += 1
+        config.log.info(
+            "build round %d: %d left, %.2fs",
+            rounds,
+            int(st.n_left),
+            _time.perf_counter() - t0,
+        )
+    t1 = _time.perf_counter()
+    flip_rounds_used = 0
     for _ in range(max_cleanup_chunks):
         st, used = cleanup(pts, st)
+        flip_rounds_used += int(used)
         if int(used) < cleanup_chunk:
             break
+    config.log.info(
+        "build: %d insert rounds %.1fs, %d cleanup flip rounds %.1fs",
+        rounds,
+        t1 - t0,
+        flip_rounds_used,
+        _time.perf_counter() - t1,
+    )
     alive = st.tri_v[:, 0] >= 0
     return st.tri_v, st.tri_n, alive, st.n_tris
 

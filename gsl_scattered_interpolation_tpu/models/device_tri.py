@@ -98,6 +98,17 @@ class DeviceTriangulation(NamedTuple):
         )
 
 
+# Register with grid_res as STATIC aux data so a DeviceTriangulation can be
+# a jit ARGUMENT: under the axon remote-compile tunnel, closing over the
+# (large) arrays serializes them into the compile request (HTTP 413 at
+# scale), while argument arrays stay on device.
+jax.tree_util.register_pytree_node(
+    DeviceTriangulation,
+    lambda t: (tuple(t[:-1]), (t.grid_res,)),
+    lambda aux, ch: DeviceTriangulation(*ch, grid_res=aux[0]),
+)
+
+
 def _inv(M):
     """Batched matrix inverse; closed-form adjugate for d<=3 (TPU-f64-safe,
     no LAPACK), general solve otherwise.  Singular -> inf entries (caller
@@ -308,6 +319,18 @@ def from_arrays(
     )
 
 
+def response_for_build(shuffle, response, d: int = 2) -> jax.Array:
+    """Response vector for a device-built triangulation.
+
+    device_delaunay.triangulate ids: rows 0..d are the cage (response 0),
+    data row i holds user row ``shuffle[i]`` (the insertion order).
+    """
+    response = np.asarray(response, np.float64)
+    out = np.zeros(d + 1 + response.shape[0], dtype=response.dtype)
+    out[d + 1 :] = response[np.asarray(shuffle)]
+    return jnp.asarray(out)
+
+
 def reindex_response(tree, response) -> jax.Array:
     """User response vector -> device layout [P], cage rows zero.
 
@@ -331,12 +354,18 @@ def _weights(tri: DeviceTriangulation, cur, q_raw):
     # (row-gather of affine; multi-dim gathers avoided: see geometry.take_rows)
     d = tri.dim
     row = tri.affine[cur]  # [B, d*d+2d] — single row-gather
-    A = row[..., : d * d].reshape(*row.shape[:-1], d, d)
     anchor = row[..., d * d : d * d + d]
     w0 = row[..., d * d + d :]
-    coords = (
-        jnp.einsum("...ij,...j->...i", A, q_raw - anchor) + w0
-    )
+    dq = q_raw - anchor
+    if d == 2:
+        # Unrolled: a batched-2x2 einsum lowers to an MXU matmul padded
+        # 2->128 on both contraction dims — ~100ms/Mq of pure padding.
+        c0 = row[..., 0] * dq[..., 0] + row[..., 1] * dq[..., 1] + w0[..., 0]
+        c1 = row[..., 2] * dq[..., 0] + row[..., 3] * dq[..., 1] + w0[..., 1]
+        coords = jnp.stack([c0, c1], axis=-1)
+    else:
+        A = row[..., : d * d].reshape(*row.shape[:-1], d, d)
+        coords = jnp.einsum("...ij,...j->...i", A, dq) + w0
     w = jnp.concatenate(
         [coords, 1.0 - jnp.sum(coords, axis=-1, keepdims=True)], axis=-1
     )
@@ -485,6 +514,337 @@ def walk_start(tri: DeviceTriangulation, q_raw):
 
 
 # ---------------------------------------------------------------------------
+# Cell-candidate point location (the large-T fast path)
+# ---------------------------------------------------------------------------
+
+
+class CellIndex(NamedTuple):
+    """Per-cell candidate tables for O(1) exact point location.
+
+    A uniform grid over the standardized data square; every cell lists ALL
+    triangles that intersect it (conservative rasterization), each packed
+    as 7 floats — the q-centered affine score form (g00,g01,g10,g11,b0,b1)
+    plus the triangle id stored as a float (exact for T < 2^24).  One
+    [K*7]-float row gather per query replaces the visibility walk: random
+    row gathers on this TPU run ~60-160 Mrow/s, an order of magnitude
+    above the lockstep walk, and unlike the VMEM-resident Pallas table the
+    candidate grid scales to millions of triangles (HBM-resident).
+
+    Coverage guarantee: a query strictly inside a listed cell whose
+    containing triangle intersects that cell ALWAYS finds it, so the fast
+    path is exact; only overflowed cells (more than K intersecting
+    triangles) and out-of-square queries fall back to the walk.
+    """
+
+    table: jax.Array     # [G*G, K*7] float32 packed candidates
+    overflow: jax.Array  # [G*G] bool: candidate list truncated
+    hint: jax.Array      # [G*G] int32 walk-start triangle
+    res: int             # static grid resolution G
+    k: int               # static candidates per cell
+
+
+jax.tree_util.register_pytree_node(
+    CellIndex,
+    lambda c: ((c.table, c.overflow, c.hint), (c.res, c.k)),
+    lambda aux, ch: CellIndex(*ch, res=aux[0], k=aux[1]),
+)
+
+
+def _qcentered_tables(tri: DeviceTriangulation):
+    """(g [T,2,2], bias [T,2]) with coords(q) = g @ (q - shift) + bias."""
+    d = tri.dim
+    T = tri.n_tris
+    A = tri.affine[:, : d * d].reshape(T, d, d)
+    anchor = tri.affine[:, d * d : d * d + d]
+    w0 = tri.affine[:, d * d + d :]
+    bias = w0 + jnp.einsum("tij,tj->ti", A, tri.shift - anchor)
+    return A, bias
+
+
+def build_cell_index(
+    tri: DeviceTriangulation, grid_res: int | None = None, K: int = 16
+) -> CellIndex:
+    """Rasterize triangles into per-cell candidate lists (freeze-time, host).
+
+    Conservative: every (triangle, cell) intersection is listed.  Small-
+    span triangles use their bbox directly; large-span ones (cage slivers
+    whose bbox covers most of the square) get an exact dilated half-plane
+    test so they only land in cells they actually touch.
+    """
+    if tri.dim != 2:
+        raise NotImplementedError("cell index is 2D")
+    pts = np.asarray(tri.points_std, np.float64)
+    tv = np.asarray(tri.tri_verts)
+    T = tv.shape[0]
+    if grid_res is None:
+        grid_res = int(np.clip(int(np.sqrt(max(T, 1) / 2.0)), 16, 2048))
+    G = int(grid_res)
+    cell_w = 1.0 / G  # std square is [-0.5, 0.5]^2
+
+    verts = pts[tv]  # [T, 3, 2]
+    lo = np.clip(np.floor((verts.min(1) + 0.5) * G).astype(np.int32), 0, G - 1)
+    hi = np.clip(np.floor((verts.max(1) + 0.5) * G).astype(np.int32), 0, G - 1)
+    span = (hi[:, 0] - lo[:, 0] + 1).astype(np.int64) * (
+        hi[:, 1] - lo[:, 1] + 1
+    )
+
+    pair_cell = []
+    pair_tri = []
+    half_diag = cell_w * np.sqrt(0.5) + 1e-12
+
+    def _halfplane_keep(tris_ids, CX, CY):
+        """Conservative triangle/cell-center test, vectorized over pairs."""
+        a = verts[tris_ids, 0]
+        b = verts[tris_ids, 1]
+        c = verts[tris_ids, 2]
+        area = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (c[:, 0] - a[:, 0])
+        sgn = np.where(area >= 0, 1.0, -1.0)
+        ok = np.ones(tris_ids.shape, bool)
+        for p, qv in ((a, b), (b, c), (c, a)):
+            ex, ey = qv[:, 0] - p[:, 0], qv[:, 1] - p[:, 1]
+            el = np.hypot(ex, ey)
+            el = np.where(el == 0, 1.0, el)
+            inward = sgn * (ex * (CY - p[:, 1]) - ey * (CX - p[:, 0])) / el
+            ok &= inward >= -half_diag
+        return ok
+
+    def emit_bbox(mask):
+        ids = np.nonzero(mask)[0].astype(np.int32)
+        if ids.size == 0:
+            return
+        nx = (hi[ids, 0] - lo[ids, 0] + 1).astype(np.int64)
+        ny = (hi[ids, 1] - lo[ids, 1] + 1).astype(np.int64)
+        cnt = nx * ny
+        rep = np.repeat(ids, cnt)
+        k = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        nxr = np.repeat(nx, cnt)
+        dx = (k % nxr).astype(np.int32)
+        dy = (k // nxr).astype(np.int32)
+        cx_i = lo[rep, 0] + dx
+        cy_i = lo[rep, 1] + dy
+        # Exact-conservative filter: drop bbox cells the triangle does not
+        # actually reach (cuts table occupancy ~2x and most overflow).
+        CX = (cx_i + 0.5) * cell_w - 0.5
+        CY = (cy_i + 0.5) * cell_w - 0.5
+        keep = _halfplane_keep(rep, CX, CY)
+        pair_tri.append(rep[keep])
+        pair_cell.append(
+            cx_i[keep].astype(np.int64) * G + cy_i[keep]
+        )
+
+    big = span > 4096
+    emit_bbox(~big)
+    # Exact per-cell test for the few huge triangles (cage slivers).
+    for t in np.nonzero(big)[0]:
+        xs = np.arange(lo[t, 0], hi[t, 0] + 1)
+        ys = np.arange(lo[t, 1], hi[t, 1] + 1)
+        cx = (xs + 0.5) * cell_w - 0.5
+        cy = (ys + 0.5) * cell_w - 0.5
+        CX, CY = np.meshgrid(cx, cy, indexing="ij")
+        a, b, c = verts[t]
+        area = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        # CCW-normalized inward distance: cell intersects the triangle only
+        # if its center is within half a cell diagonal of every edge's
+        # inner half-plane (conservative dilation).
+        sgn = 1.0 if area >= 0 else -1.0
+        ok = np.ones(CX.shape, bool)
+        for p, qv in ((a, b), (b, c), (c, a)):
+            ex, ey = qv[0] - p[0], qv[1] - p[1]
+            el = np.hypot(ex, ey)
+            if el == 0:
+                continue
+            inward = sgn * (ex * (CY - p[1]) - ey * (CX - p[0])) / el
+            ok &= inward >= -half_diag
+        ii, jj = np.nonzero(ok)
+        pair_tri.append(np.full(ii.size, t, np.int64))
+        pair_cell.append((lo[t, 0] + ii) * G + (lo[t, 1] + jj))
+
+    cells = np.concatenate(pair_cell)
+    tris = np.concatenate(pair_tri)
+    order = np.argsort(cells, kind="stable")
+    cells = cells[order]
+    tris = tris[order]
+    counts = np.bincount(cells, minlength=G * G)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rank = (np.arange(cells.size, dtype=np.int64) - starts[cells]).astype(
+        np.int32
+    )
+    keep = rank < K
+    overflow = counts > K
+    rows_k = cells[keep]
+    cols_k = rank[keep]
+    tri_k = tris[keep]
+
+    # Walk-start hint: the first listed triangle, else the bucket grid's.
+    hint = np.full(G * G, -1, np.int32)
+    first = cols_k == 0
+    hint[rows_k[first]] = tri_k[first]
+    empty = hint < 0
+    if empty.any():
+        fallback = np.asarray(tri.grid_tri).reshape(-1)
+        gr = tri.grid_res
+        idx = np.arange(G * G)
+        gx = (idx // G) * gr // G
+        gy = (idx % G) * gr // G
+        hint[empty] = fallback[(gx * gr + gy)[empty]]
+
+    # Pack q-centered affine rows + id as float32, FIELD-major within the
+    # row (all K g00s, then all K g01s, ...): the query path then slices
+    # contiguous [B, K] blocks with no strided relayout.  Empty slots
+    # score -inf through the 1e30 bias.
+    gmat, bias = _qcentered_tables(tri)
+    gmat = np.asarray(gmat, np.float32).reshape(T, 4)
+    bias = np.asarray(bias, np.float32)
+    packed = np.zeros((G * G, 7, K), np.float32)
+    packed[:, 4:6, :] = 1e30
+    packed[:, 6, :] = -1.0
+    for f in range(4):
+        packed[rows_k, f, cols_k] = gmat[tri_k, f]
+    packed[rows_k, 4, cols_k] = bias[tri_k, 0]
+    packed[rows_k, 5, cols_k] = bias[tri_k, 1]
+    packed[rows_k, 6, cols_k] = tri_k.astype(np.float32)
+    return CellIndex(
+        table=jnp.asarray(packed.reshape(G * G, 7 * K)),
+        overflow=jnp.asarray(overflow),
+        hint=jnp.asarray(hint),
+        res=G,
+        k=K,
+    )
+
+
+def locate_cells(
+    tri: DeviceTriangulation,
+    cells: CellIndex,
+    q_raw,
+    fallback_frac: int = 16,
+    fallback: str = "auto",
+    fallback_steps: int = 32,
+):
+    """Exact batched location: one candidate-row gather + walk fallback.
+
+    Returns (leaf [B], weights [B, d+1], in_domain [B]).  Queries whose
+    cell overflowed or that no candidate contains (out-of-square, walked
+    off the hull, capacity-truncated lists) are re-located by the
+    visibility walk — compacted to a fixed buffer of B/fallback_frac slots
+    when few, or a full masked walk when many, so the result is exact
+    either way.
+    """
+    B = q_raw.shape[0]
+    G = cells.res
+    K = cells.k
+    dtype = q_raw.dtype
+    q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
+    cell = jnp.clip(
+        jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
+    )
+    cid = cell[:, 0] * G + cell[:, 1]
+    rows = cells.table[cid].astype(dtype)  # ONE [B, 7K] gather
+    g00 = rows[:, 0 * K : 1 * K]
+    g01 = rows[:, 1 * K : 2 * K]
+    g10 = rows[:, 2 * K : 3 * K]
+    g11 = rows[:, 3 * K : 4 * K]
+    b0 = rows[:, 4 * K : 5 * K]
+    b1 = rows[:, 5 * K : 6 * K]
+    tid = rows[:, 6 * K : 7 * K]
+    qx = (q_raw[:, 0] - tri.shift[0].astype(dtype))[:, None]
+    qy = (q_raw[:, 1] - tri.shift[1].astype(dtype))[:, None]
+    c0 = g00 * qx + g01 * qy + b0
+    c1 = g10 * qx + g11 * qy + b1
+    minw = jnp.minimum(jnp.minimum(c0, c1), 1.0 - c0 - c1)
+    minw = jnp.where(tid >= 0, minw, -jnp.inf)
+    best = jnp.argmax(minw, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], -1)[:, 0]
+    bestw = take(minw)
+    leaf = jnp.maximum(take(tid), 0.0).astype(jnp.int32)
+    # Selection used the f32 q-centered tables; the returned weights come
+    # from the anchored affine maps in the query dtype (one cheap row
+    # gather) so f64 callers keep full precision.
+    w = _weights(tri, leaf, q_raw)
+    # Containment from the f32 score tables needs an f32-scaled slack —
+    # judging f32 scores with an f64 tolerance rejects genuinely-inside
+    # boundary queries.  The anchored weights are then re-judged at the
+    # query dtype's tolerance.
+    tol_score = 4.0 * machine.sqrt_eps(cells.table.dtype)
+    tol_w = jnp.asarray(4.0 * machine.sqrt_eps(dtype), dtype)
+    contained = bestw >= -jnp.asarray(tol_score, dtype)
+    w_ok = jnp.all(w >= -tol_w, axis=-1)
+    # A non-overflowed cell's candidate list is COMPLETE for queries
+    # inside that cell, so there a not-contained verdict is exact (the
+    # query is outside every triangle).  The walk handles: overflow-cell
+    # and out-of-square misses (clamped to a boundary cell they are not
+    # inside — e.g. cage-region points of a native build), plus queries
+    # where the f32 score and the query-dtype weights disagree (boundary
+    # noise).
+    outside_sq = jnp.any(jnp.abs(q_std) > 0.5, axis=-1)
+    bad = ((cells.overflow[cid] | outside_sq) & ~contained) | (
+        contained & ~w_ok
+    )
+    in_domain = contained & w_ok
+
+    if fallback == "none":
+        # Fast path only: not-contained queries report in_domain=False.
+        return leaf, w, in_domain
+
+    nbad = jnp.sum(bad.astype(jnp.int32))
+    start_hint = cells.hint[cid]
+
+    def make_few(cap):
+        def fallback_few(args):
+            leaf, w, in_domain = args
+            idx = jnp.nonzero(bad, size=cap, fill_value=0)[0]
+            sub_leaf, sub_w, sub_in = locate(
+                tri, q_raw[idx], start=start_hint[idx],
+                max_steps=fallback_steps,
+            )
+            sub_in = sub_in & jnp.all(sub_w > -0.5, axis=-1)
+            # fill_value rows recompute query 0 — same result, harmless.
+            return (
+                leaf.at[idx].set(sub_leaf),
+                w.at[idx].set(sub_w),
+                in_domain.at[idx].set(sub_in),
+            )
+
+        return fallback_few
+
+    def fallback_many(args):
+        leaf_w, w_w, in_w = locate(
+            tri, q_raw, start=start_hint, max_steps=fallback_steps
+        )
+        in_w = in_w & jnp.all(w_w > -0.5, axis=-1)
+        keep = ~bad
+        leaf, w, in_domain = args
+        return (
+            jnp.where(keep, leaf, leaf_w),
+            jnp.where(keep[:, None], w, w_w),
+            jnp.where(keep, in_domain, in_w),
+        )
+
+    # Tiered compaction: tiny buffer for the common sub-1% fallback rate,
+    # a bigger one at cap, full masked walk beyond.
+    cap_small = max(min(1024, B), B // 256)
+    cap_big = max(min(4096, B), B // fallback_frac)
+
+    leaf, w, in_domain = jax.lax.cond(
+        nbad == 0,
+        lambda args: args,
+        lambda args: jax.lax.cond(
+            nbad <= cap_small,
+            make_few(cap_small),
+            lambda args2: jax.lax.cond(
+                nbad <= cap_big, make_few(cap_big), fallback_many, args2
+            ),
+            args,
+        ),
+        (leaf, w, in_domain),
+    )
+    return leaf, w, in_domain
+
+
+# ---------------------------------------------------------------------------
 # Batched evaluation
 # ---------------------------------------------------------------------------
 
@@ -496,12 +856,24 @@ DENSE_LOCATE_MAX_TRIS = 16384
 PALLAS_LOCATE_MAX_TRIS = 16384
 
 
+def vertex_responses(tri: DeviceTriangulation, response_ext) -> jax.Array:
+    """Per-triangle response triplets [T, d+1].
+
+    Precompute once per response vector and pass to :func:`interp` as
+    ``resp_tri``: evaluation then needs a single [B, d+1] row gather
+    instead of two chained gathers per query batch.
+    """
+    return geometry.take_rows(response_ext[:, None], tri.tri_verts)[..., 0]
+
+
 def interp(
     tri: DeviceTriangulation,
     response_ext,
     q_raw,
     max_steps: int = 256,
     method: str = "auto",
+    cells: CellIndex | None = None,
+    resp_tri=None,
 ):
     """Barycentric interpolation at raw query points, batched.
 
@@ -510,15 +882,18 @@ def interp(
     (see :func:`reindex_response`), giving the reference's fade-to-zero
     behavior near/outside the data hull; out-of-cage queries return 0.
 
-    method: "auto" picks the Pallas VMEM kernel on TPU (2D, tables fit
-    VMEM), else MXU brute force (:func:`locate_dense`) for small
-    triangulations, else the visibility walk (:func:`locate`);
-    "dense"/"walk"/"pallas" force a path ("pallas" = the VMEM-resident
-    TPU kernel in ops.pallas_locate, ~5x the XLA dense path; float32, 2D).
+    method: "auto" picks the cell-candidate index when ``cells`` is
+    supplied (the at-scale path: build once via :func:`build_cell_index`),
+    else the Pallas VMEM kernel on TPU (2D, tables fit VMEM), else MXU
+    brute force (:func:`locate_dense`) for small triangulations, else the
+    visibility walk (:func:`locate`); "cells"/"dense"/"walk"/"pallas"
+    force a path.
     """
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (
+        if cells is not None and tri.dim == 2:
+            method = "cells"
+        elif (
             on_tpu
             and tri.dim == 2
             and tri.n_tris <= PALLAS_LOCATE_MAX_TRIS
@@ -528,7 +903,13 @@ def interp(
             method = "dense"
         else:
             method = "walk"
-    if method == "pallas":
+    if method == "cells":
+        if cells is None:
+            raise ValueError(
+                "method='cells' requires a CellIndex (build_cell_index)"
+            )
+        leaf, w, in_domain = locate_cells(tri, cells, q_raw)
+    elif method == "pallas":
         from ..ops import pallas_locate
 
         leaf = pallas_locate.locate_dense_pallas(tri, q_raw)
@@ -543,8 +924,11 @@ def interp(
         # violating weights (e.g. a query stuck at a degenerate simplex);
         # treat those as out-of-domain rather than emitting garbage.
         in_domain = in_domain & jnp.all(w > -0.5, axis=-1)
-    vals = geometry.take_rows(response_ext[:, None], tri.tri_verts[leaf])[
-        ..., 0
-    ]  # [B, d+1]
+    if resp_tri is not None:
+        vals = resp_tri[leaf]  # [B, d+1] — one row gather
+    else:
+        vals = geometry.take_rows(
+            response_ext[:, None], tri.tri_verts[leaf]
+        )[..., 0]  # [B, d+1]
     out = jnp.sum(w * vals, axis=-1)
     return jnp.where(in_domain, out, 0.0)

@@ -33,7 +33,6 @@ rbf.KERNELS["wendland_c2"] exactly.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -66,6 +65,25 @@ class CellGrid(NamedTuple):
     @property
     def cap(self) -> int:
         return self.xs_pad.shape[2]
+
+
+# n_sites/cell_size are STATIC aux data: a CellGrid must be usable as a
+# jit argument (closure constants get serialized into axon remote-compile
+# requests, which reject >~100MB bodies at north-star scales).
+jax.tree_util.register_pytree_node(
+    CellGrid,
+    lambda g: (
+        (g.xs_pad, g.slot_site, g.origin),
+        (g.n_sites, g.cell_size),
+    ),
+    lambda aux, ch: CellGrid(
+        xs_pad=ch[0],
+        slot_site=ch[1],
+        n_sites=aux[0],
+        cell_size=aux[1],
+        origin=ch[2],
+    ),
+)
 
 
 def build_cell_grid(xs_std: np.ndarray, rho: float) -> CellGrid:
@@ -250,18 +268,18 @@ class CompactRbf:
         )
         y_pad = pack_values(self.grid, jnp.asarray(values, dtype))
 
+        phi = self.kernel.phi
         fit = jax.jit(
-            functools.partial(
-                _cg_pad,
-                self.grid,
-                self.kernel.phi,
-                jnp.asarray(self.epsilon, dtype),
-                jnp.asarray(self.smooth, dtype),
-                tol=tol,
-                maxiter=maxiter,
+            lambda grid, eps_, sm_, y: _cg_pad(
+                grid, phi, eps_, sm_, y, tol=tol, maxiter=maxiter
             )
         )
-        lam_pad, rs, it = fit(y_pad)
+        lam_pad, rs, it = fit(
+            self.grid,
+            jnp.asarray(self.epsilon, dtype),
+            jnp.asarray(self.smooth, dtype),
+            y_pad,
+        )
         self.lam_pad = lam_pad
         self.cg_iters = int(it)
         self.cg_residual = float(jnp.sqrt(rs))
@@ -280,7 +298,9 @@ class CompactRbf:
             jnp.asarray(self.scale, dtype)
             * (q.astype(dtype) - jnp.asarray(self.shift, dtype))
         )
-        return _eval_cells(
+        # static phi (function identity), everything else an argument —
+        # jit-safe at scale under the axon remote-compile size limit.
+        return _eval_cells_jit(
             self.grid,
             self.kernel.phi,
             jnp.asarray(self.epsilon, dtype),
@@ -327,3 +347,6 @@ def _eval_cells(grid: CellGrid, phi, eps, lam_pad, qs):
             valid, jnp.sum(phi(r, eps) * lb, axis=-1), 0.0
         )
     return out
+
+
+_eval_cells_jit = jax.jit(_eval_cells, static_argnums=(1,))

@@ -168,3 +168,77 @@ class TestPallasLocate:
         ref, w, ok = dt.locate_dense(tri32, Q)
         got = plx.locate_dense_pallas(tri32, Q, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestCellIndex:
+    """Cell-candidate locate: exactness vs the walk and dense paths."""
+
+    def _tri(self, n=800, seed=0):
+        rng = np.random.default_rng(seed)
+        sites = rng.uniform(-0.5, 0.5, size=(n, 2))
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        return dt.freeze(tree, grid_res=64), sites, tree
+
+    def test_matches_dense_locate(self):
+        tri, sites, tree = self._tri()
+        cells = dt.build_cell_index(tri)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(3000, 2)))
+        leaf_c, w_c, in_c = dt.locate_cells(tri, cells, q)
+        leaf_d, w_d, in_d = dt.locate_dense(tri, q)
+        # Leaves may differ only where the query sits on an edge; the
+        # weights/value must agree everywhere.
+        np.testing.assert_allclose(
+            np.asarray(w_c.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+        resp = jnp.asarray(
+            np.concatenate([np.zeros(3), rng.standard_normal(len(sites))])
+        )
+        v_c = np.asarray(
+            dt.interp(tri, resp, q, method="cells", cells=cells)
+        )
+        v_d = np.asarray(dt.interp(tri, resp, q, method="dense"))
+        np.testing.assert_allclose(v_c, v_d, atol=1e-9)
+
+    def test_out_of_square_and_cage(self):
+        tri, sites, tree = self._tri(n=200, seed=2)
+        cells = dt.build_cell_index(tri)
+        # Far outside the data square but inside the cage: interp -> 0
+        # region, must not crash and must agree with the walk path.
+        q = jnp.asarray([[5.0, 5.0], [-3.0, 0.2], [0.0, 0.0]])
+        resp = jnp.asarray(np.concatenate([np.zeros(3), np.ones(200)]))
+        v_c = np.asarray(dt.interp(tri, resp, q, method="cells", cells=cells))
+        v_w = np.asarray(dt.interp(tri, resp, q, method="walk"))
+        np.testing.assert_allclose(v_c, v_w, atol=1e-9)
+
+    def test_small_fallback_cap_still_exact(self):
+        # Force the "many bad" branch: tiny fallback buffer.
+        tri, sites, tree = self._tri(n=300, seed=3)
+        cells = dt.build_cell_index(tri, K=2)  # heavy overflow
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(512, 2)))
+        leaf_c, w_c, in_c = dt.locate_cells(
+            tri, cells, q, fallback_frac=512
+        )
+        leaf_d, w_d, in_d = dt.locate_dense(tri, q)
+        np.testing.assert_allclose(
+            np.asarray(w_c.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+
+    def test_jit_and_grid_eval(self):
+        tri, sites, tree = self._tri(n=500, seed=5)
+        cells = dt.build_cell_index(tri)
+        resp = jnp.asarray(
+            np.concatenate([np.zeros(3), np.ones(500)])
+        )
+        f = jax.jit(
+            lambda qq: dt.interp(tri, resp, qq, method="cells", cells=cells)
+        )
+        g = np.linspace(-0.45, 0.45, 40)
+        Q = jnp.asarray(
+            np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+        )
+        out = np.asarray(f(Q))
+        # interior of the data hull: constant-1 response reproduced
+        interior = np.asarray(jnp.all(jnp.abs(Q) < 0.35, axis=1))
+        np.testing.assert_allclose(out[interior], 1.0, atol=1e-9)
