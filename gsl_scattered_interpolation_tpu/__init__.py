@@ -16,6 +16,12 @@ Layout:
 """
 
 from .version import __version__  # noqa: F401
+from .utils import config as _config
+
+# Persistent XLA compile cache: the big build programs compile ~50x
+# slower than they run via the axon remote-compile path; cache them.
+_config.enable_compile_cache()
+
 from . import models, ops, parallel, utils  # noqa: F401
 from .models.scattered import ScatteredInterp  # noqa: F401
 from .models.interp1d import Interp1D, Spline1D, interp, spline  # noqa: F401

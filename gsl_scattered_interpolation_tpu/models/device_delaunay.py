@@ -226,13 +226,6 @@ def _flip_round(pts, carry):
     alive = tri_v[:, 0] >= 0
     center, r2, cok = cc[:, :2], cc[:, 2], cc[:, 3] > 0.5
 
-    # Far vertex of each neighbor: the vertex at the slot whose
-    # neighbor-link points back at us.
-    def far_of(t_ids, u_ids):
-        back = tri_n[u_ids] == t_ids[:, None]  # [., 3]
-        slot = jnp.argmax(back, axis=-1)
-        return jnp.take_along_axis(tri_v[u_ids], slot[:, None], -1)[:, 0]
-
     t_all = jnp.arange(M, dtype=jnp.int32)
     # Flip decisions are CANONICAL per 4-point quad: the incircle
     # determinant is evaluated with the quad's vertices in sorted-id
@@ -245,44 +238,54 @@ def _flip_round(pts, carry):
     # Consistent verdicts make oscillation structurally impossible;
     # exact ties (S == 0) keep the current diagonal, matching the
     # reference's shrunken-sphere no-flip semantics.
-    cand_ok = jnp.zeros((M, 3), bool)
-    for k in range(3):
-        u = tri_n[:, k]
-        valid = alive & (u >= 0)
-        uu = jnp.where(valid, u, 0)
-        far = far_of(t_all, uu)
-        fq = pts[far]
-        apex = tri_v[:, k]
-        p1 = tri_v[:, (k + 1) % 3]
-        p2 = tri_v[:, (k + 2) % 3]
-        # convexity: segment (apex, far) must cross the shared edge.
-        # Compensated predicates: plain f32 determinant signs are wrong
-        # on cage-scale quads (ops/robust.py docstring).
-        o1 = robust.orient2d_ds(pts[apex], fq, pts[p1])
-        o2 = robust.orient2d_ds(pts[apex], fq, pts[p2])
-        convex = jnp.sign(o1) * jnp.sign(o2) < 0
-        # Canonical quad decision.  Cyclic order (apex, p1, far, p2):
-        # current diagonal = positions (1,3); flip target = (0,2).
-        quad = jnp.stack([apex, p1, far, p2], -1)  # [M, 4] point ids
-        order = jnp.argsort(quad, axis=-1)
-        sid = jnp.take_along_axis(quad, order, -1)
-        sp = geometry.take_rows(pts, sid)  # [M, 4, 2]
-        O = robust.orient2d_ds(sp[:, 0], sp[:, 1], sp[:, 2])
-        S = robust.incircle_ds(sp[:, 0], sp[:, 1], sp[:, 2], sp[:, 3]) * (
-            jnp.sign(O)
-        )
-        p3 = order[:, 3]  # cyclic position of the largest-id vertex
-        p3_on_flip_diag = (p3 == 0) | (p3 == 2)
-        want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
-        want = want & (S != 0)
-        # Degenerate (zero-area) triangles must still be flipped away
-        # (linear_simplex.c:517-521): the canonical test with three
-        # collinear points is consistent but may elect to keep them.
-        degen_t = ~cok
-        degen_u = ~(cc[uu, 3] > 0.5)
-        cand_ok = cand_ok.at[:, k].set(
-            valid & convex & (want | degen_t | degen_u)
-        )
+    #
+    # All 3 edges are evaluated in ONE [M, 3]-batched pass (not a python
+    # loop): the compensated predicates are large expressions, and
+    # instantiating them 3x tripled the XLA program — TPU compile time
+    # through the axon tunnel is ~50x execution for this build, so
+    # program size is a first-class cost here.
+    u3 = tri_n  # [M, 3]
+    valid3 = alive[:, None] & (u3 >= 0)
+    uu3 = jnp.where(valid3, u3, 0)
+    # multi-dim index gathers routed flat (geometry.take_rows): the
+    # dimension-numbers form compiles minutes-slow at 1e6 shapes.
+    back = geometry.take_rows(tri_n, uu3) == t_all[:, None, None]
+    slot = jnp.argmax(back, axis=-1)  # [M, 3]
+    far3 = jnp.take_along_axis(
+        geometry.take_rows(tri_v, uu3), slot[..., None], -1
+    )[..., 0]
+    fq3 = geometry.take_rows(pts, far3)           # [M, 3, 2]
+    apex3 = geometry.take_rows(pts, tri_v)        # [M, 3, 2]
+    p1_id = jnp.roll(tri_v, -1, axis=1)
+    p2_id = jnp.roll(tri_v, -2, axis=1)
+    p1q = geometry.take_rows(pts, p1_id)
+    p2q = geometry.take_rows(pts, p2_id)
+    # convexity: segment (apex, far) must cross the shared edge.
+    # Compensated predicates: plain f32 determinant signs are wrong on
+    # cage-scale quads (ops/robust.py docstring).
+    o1 = robust.orient2d_ds(apex3, fq3, p1q)
+    o2 = robust.orient2d_ds(apex3, fq3, p2q)
+    convex3 = jnp.sign(o1) * jnp.sign(o2) < 0
+    # Canonical quad decision.  Cyclic order (apex, p1, far, p2):
+    # current diagonal = positions (1,3); flip target = (0,2).
+    quad = jnp.stack([tri_v, p1_id, far3, p2_id], -1)  # [M, 3, 4] ids
+    order = jnp.argsort(quad, axis=-1)
+    sid = jnp.take_along_axis(quad, order, -1)
+    sp = geometry.take_rows(pts, sid)  # [M, 3, 4, 2]
+    O = robust.orient2d_ds(sp[:, :, 0], sp[:, :, 1], sp[:, :, 2])
+    S = robust.incircle_ds(
+        sp[:, :, 0], sp[:, :, 1], sp[:, :, 2], sp[:, :, 3]
+    ) * jnp.sign(O)
+    p3 = order[..., 3]  # cyclic position of the largest-id vertex
+    p3_on_flip_diag = (p3 == 0) | (p3 == 2)
+    want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
+    want = want & (S != 0)
+    # Degenerate (zero-area) triangles must still be flipped away
+    # (linear_simplex.c:517-521): the canonical test with three
+    # collinear points is consistent but may elect to keep them.
+    degen_t = ~cok[:, None]
+    degen_u = ~(geometry.take_rows(cc, uu3)[..., 3] > 0.5)
+    cand_ok = valid3 & convex3 & (want | degen_t | degen_u)
 
     # Mutual-minimum matching over candidate edges.
     partner_cand = jnp.where(cand_ok, tri_n, INT_MAX)

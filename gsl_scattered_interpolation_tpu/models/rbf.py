@@ -381,9 +381,28 @@ def _local_lagrange_precond(
     dup_j = jnp.asarray(dup)
     xs_j = jnp.asarray(xs)
 
+    # Homogeneity exponent: phi(h r) = h^s phi(r) (+ a term absorbed by
+    # the polynomial part, for thin-plate's log).  Lets every local system
+    # be built in UNIT-scaled coordinates — f32-conditioning becomes
+    # scale-free, which is what makes the preconditioner build viable on
+    # TPU hardware — then c_local = c_unit / h^s.
+    _scale_expo = {"thin_plate": 2.0, "cubic": 3.0, "linear": 1.0}
+    expo = None
+    for name, k in KERNELS.items():
+        if k.phi is phi and name in _scale_expo:
+            expo = _scale_expo[name]
+
     def solve_chunk(args):
         Lc, dupc = args  # [c, w], [c, w]
         xb = xs_j[Lc]  # [c, w, d]
+        keep_c = ~dupc
+        if expo is not None:
+            ctr = xb[:, :1, :]
+            rel = xb - ctr
+            dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+            rad = jnp.max(jnp.where(keep_c, dist, 0.0), axis=1)
+            rad = jnp.maximum(rad, 1e-30)[:, None, None]
+            xb = rel / rad
         xb = jnp.where(dupc[..., None], 1e8, xb)
         diff = xb[:, :, None, :] - xb[:, None, :, :]
         r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
@@ -412,7 +431,10 @@ def _local_lagrange_precond(
         else:
             K, rhs = A, rhs_card
         sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
-        return sol[:, :w] * keep  # poisoned slots contribute 0
+        c_loc = sol[:, :w] * keep  # poisoned slots contribute 0
+        if expo is not None:
+            c_loc = c_loc / (rad[:, :, 0] ** expo)
+        return c_loc
 
     pad = (-n) % chunk
     L_pad = jnp.concatenate([L_j, jnp.zeros((pad, w), jnp.int32)])
@@ -427,9 +449,14 @@ def _local_lagrange_precond(
         ),
     ).reshape(-1, w)[:n]
 
-    def apply(r):
+    def apply_raw(r):
+        """z = C r (nonsymmetric approximate inverse) — for GMRES."""
         rn = r[L_j]  # [n, w] gather
-        Cr = jnp.sum(C * jnp.where(dup_j, 0.0, rn), axis=1)
+        return jnp.sum(C * jnp.where(dup_j, 0.0, rn), axis=1)
+
+    def apply(r):
+        """Symmetrized (C + C^T)/2 r — for PCG."""
+        Cr = apply_raw(r)
         # C^T r: scatter-add of C[i, j] * r[i] into L[i, j]
         contrib = C * jnp.where(dup_j, 0.0, r[:, None])
         CTr = jnp.zeros_like(r).at[L_j.reshape(-1)].add(
@@ -437,6 +464,7 @@ def _local_lagrange_precond(
         )
         return 0.5 * (Cr + CTr)
 
+    apply.raw = apply_raw
     return apply
 
 
@@ -450,7 +478,7 @@ def _poly_basis_batched(x, degree: int):
 
 def _projected_pcg_matfree(
     xs, y, P, phi, eps, smooth, tol, maxiter, block,
-    q: int = 50, n_anchor: int = 12,
+    q: int = 50, n_anchor: int = 12, krylov: str = "gmres",
 ):
     """Preconditioned projected CG — the at-scale conditionally-PD solver.
 
@@ -487,6 +515,27 @@ def _projected_pcg_matfree(
         return proj(pre(r) + 1e-8 * r)
 
     b = proj(y)
+    if krylov == "gmres":
+        # Right-preconditioned GMRES with the RAW (nonsymmetric) local-
+        # Lagrange inverse — converges in far fewer matvecs than the
+        # symmetrized PCG on thin-plate systems.
+        lam, rel, mv = _gmres_right(
+            pmv, lambda r: proj(pre.raw(r)), b,
+            m=min(60, max(10, xs.shape[0] - 1)), tol=tol,
+            max_restarts=max(1, maxiter // 60),
+        )
+        lam = proj(lam)
+        if m:
+            c = jax.scipy.linalg.solve_triangular(
+                R, Q.T @ (y - matvec(lam))
+            )
+        else:
+            c = jnp.zeros(0, xs.dtype)
+        info = {"iters": mv, "rel_residual": rel}
+        config.log.info(
+            "projected GMRES: %d matvecs, rel residual %.2e", mv, rel
+        )
+        return lam, c, info
     b2 = jnp.vdot(b, b)
     target = tol * tol * b2
 
@@ -526,16 +575,109 @@ def _projected_pcg_matfree(
     return lam, c, info
 
 
+def _gmres_right(pmv, prec, b, m: int = 60, tol: float = 1e-10,
+                 max_restarts: int = 20):
+    """Right-preconditioned restarted GMRES(m), pure JAX.
+
+    Solves pmv(x) = b with x = prec(u); the preconditioner may be
+    NONSYMMETRIC (the raw local-Lagrange approximate inverse), which is
+    where it beats symmetrized PCG on thin-plate systems.  The Arnoldi
+    inner loop is a lax.fori_loop with masked modified-Gram-Schmidt (full
+    [m+1, n] contractions per step — MXU-shaped); the small least-squares
+    solve runs on device via normal equations (m ~ 60, f32-safe).
+
+    Returns (x, rel_residual, matvecs).
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    bnorm = jnp.linalg.norm(b)
+
+    def arnoldi(x0):
+        r = b - pmv(x0)
+        beta = jnp.linalg.norm(r)
+        V0 = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
+        H0 = jnp.zeros((m + 1, m), dtype)
+
+        def body(j, carry):
+            V, H = carry
+            w = pmv(prec(V[j]))
+            # masked MGS against rows 0..j
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask  # [m+1]
+            w = w - V.T @ h
+            hnorm = jnp.linalg.norm(w)
+            H = H.at[:, j].set(h.at[j + 1].set(hnorm))
+            V = V.at[j + 1].set(w / jnp.where(hnorm > 0, hnorm, 1.0))
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, body, (V0, H0))
+        return V, H, beta
+
+    def update(x0, V, y):
+        x = x0 + prec(V[:m].T @ y)
+        res = jnp.linalg.norm(b - pmv(x))
+        return x, res
+
+    x = jnp.zeros_like(b)
+    run = jax.jit(arnoldi)
+    upd = jax.jit(update)
+    matvecs = 0
+    res = float(bnorm)
+    for _ in range(max_restarts):
+        V, H, beta = run(x)
+        # Small least squares min ||beta e1 - H y|| on the HOST in f64:
+        # f32 normal equations square the Hessenberg conditioning and sent
+        # the 100k thin-plate solve divergent.
+        Hh = np.asarray(H, np.float64)
+        rhs = np.zeros(m + 1)
+        rhs[0] = float(beta)
+        y = np.linalg.lstsq(Hh, rhs, rcond=None)[0]
+        x, res_d = upd(x, V, jnp.asarray(y, dtype))
+        matvecs += m + 2
+        res = float(res_d)
+        if res <= tol * float(bnorm):
+            break
+    return x, res / max(float(bnorm), 1e-300), matvecs
+
+
+def pairwise_d2(a, b):
+    """[Na, Nb] SQUARED distances via the Gram-matmul trick (MXU)."""
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    g = jnp.matmul(a, b.T, precision=HIGHEST)
+    return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * g, 0.0)
+
+
+def _phi_tps_d2(d2, eps):
+    # r^2 log r = d2 * log(d2) / 2; the additive tiny kills the 0*(-inf)
+    # NaN at coincident points with no branch, no sqrt (VPU-lean: the
+    # streamed 100k matvec is transcendental-bound).
+    return 0.5 * d2 * jnp.log(d2 + jnp.asarray(1e-37, d2.dtype))
+
+
+# phi variants taking SQUARED distance (cheaper streamed matvecs).
+_PHI_D2 = {"thin_plate": _phi_tps_d2}
+
+
 def _make_block_matvec(xs, phi, eps, smooth, block):
     """Matrix-free (A + smooth I) v with kernel blocks streamed from coords."""
     n = xs.shape[0]
     pad = (-n) % block
-    xp = jnp.concatenate([xs, jnp.full((pad, xs.shape[1]), 1e30, xs.dtype)])
+    xp = jnp.concatenate([xs, jnp.full((pad, xs.shape[1]), 1e8, xs.dtype)])
     nblk = xp.shape[0] // block
+    phi_d2 = None
+    for name, k in KERNELS.items():
+        if k.phi is phi and name in _PHI_D2:
+            phi_d2 = _PHI_D2[name]
 
     def matvec(v):
         def one(xb):
-            K = phi(pairwise_dist(xb, xs), eps)
+            if phi_d2 is not None:
+                K = phi_d2(pairwise_d2(xb, xs), eps)
+            else:
+                K = phi(pairwise_dist(xb, xs), eps)
             return jnp.matmul(K, v, precision=HIGHEST)
 
         out = jax.lax.map(one, xp.reshape(nblk, block, -1)).reshape(-1)[:n]

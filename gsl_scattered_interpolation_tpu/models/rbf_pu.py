@@ -1,0 +1,261 @@
+"""Partition-of-unity TPS: the TPU-native "fast RBF method" (README:23).
+
+Global thin-plate systems defy single-precision hardware at scale: the
+coefficients grow like h^-2 (1e5+ at 100k sites), so f32 matvecs lose the
+answer to cancellation (see rbf._projected_pcg_matfree docstring).  The
+TPU-native route to fast large-N thin-plate fitting is PARTITION OF
+UNITY: many small, unit-scaled (hence f32-well-conditioned) local TPS
+fits, blended by smooth compactly-supported weights — batched dense
+solves on the MXU instead of an unstable global Krylov iteration.
+
+Construction (2D):
+
+* Sites are bucketed into a uniform grid of cells (side H); each CELL
+  owns a patch whose fit set is its 3x3 cell neighborhood (padded SoA,
+  rolled like models/rbf_compact.py — no gathers).
+* Every patch solves its local TPS saddle system in coordinates scaled
+  to the patch radius (conditioning independent of N) — one batched LU.
+* The blend weight of patch p is wendland_c2(|x - c_p| / H).  Since any
+  x within H of a patch center lies inside that patch's 3x3 fit block,
+  every site is interpolated by EVERY patch active there, so the blend
+  s(x) = sum_p w_p s_p(x) / sum_p w_p interpolates all data exactly and
+  is C1-smooth.
+* Evaluation touches the 3x3 patches around the query's cell: 9 small
+  dense kernel sums, batched over queries.
+
+This serves the 100k-site "< 10 s" capability with f32-stable numerics;
+the global-weight solver (rbf.RbfInterp solver="pcg") remains the parity
+path where f64 is available.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rbf
+from ..utils import config, errors
+
+HIGHEST = jax.lax.Precision.HIGHEST
+_POISON = 1e7
+
+
+class PuTps(NamedTuple):
+    """Fitted partition-of-unity TPS model (padded SoA)."""
+
+    xs9: jax.Array      # [Gy, Gx, W, 2] per-patch fit sites (poison pads)
+    lam: jax.Array      # [Gy, Gx, W] local TPS coefficients
+    poly: jax.Array     # [Gy, Gx, 3] local affine tails (in patch coords)
+    origin: jax.Array   # [2] grid origin (standardized coords)
+    cell: float         # cell side H
+    rad: float          # patch coordinate scale (= 1.5 H)
+    shift: jax.Array    # [2] raw->standardized shift
+    scale: jax.Array    # [2] raw->standardized scale
+
+    @property
+    def shape(self):
+        return self.xs9.shape[:2]
+
+
+jax.tree_util.register_pytree_node(
+    PuTps,
+    lambda m: (
+        (m.xs9, m.lam, m.poly, m.origin, m.shift, m.scale),
+        (m.cell, m.rad),
+    ),
+    lambda aux, ch: PuTps(
+        xs9=ch[0], lam=ch[1], poly=ch[2], origin=ch[3],
+        cell=aux[0], rad=aux[1], shift=ch[4], scale=ch[5],
+    ),
+)
+
+
+def _phi_tps(r):
+    safe = jnp.where(r > 0, r, 1.0)
+    return jnp.where(r > 0, r * r * jnp.log(safe), 0.0)
+
+
+def _neighborhood9(xs_pad):
+    """[Gy, Gx, 9*cap, d] — each cell's 3x3 block, via rolls (no gathers)."""
+    parts = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            parts.append(jnp.roll(xs_pad, (-di, -dj), axis=(0, 1)))
+    return jnp.concatenate(parts, axis=2)
+
+
+def fit(
+    sites,
+    values,
+    target_per_cell: float = 10.0,
+    smooth: float = 0.0,
+    chunk: int = 256,
+    dtype=None,
+):
+    """Fit a partition-of-unity TPS to (sites [N,2], values [N])."""
+    sites = np.asarray(sites, np.float64)
+    values = np.asarray(values, np.float64)
+    n, d = sites.shape
+    if d != 2:
+        raise errors.InvalidArgumentError("PU-TPS is 2D")
+    if values.shape != (n,):
+        raise errors.InvalidArgumentError("values shape mismatch")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    lo, hi = sites.min(0), sites.max(0)
+    shift = (lo + hi) / 2.0
+    ext = hi - lo
+    scale = np.where(ext > 0, 1.0 / np.where(ext > 0, ext, 1), 1.0)
+    xs = scale * (sites - shift)
+
+    # Bucket into cells of side H ~ sqrt(target/N).
+    from . import rbf_compact
+
+    H = float(np.sqrt(target_per_cell / max(n, 1)))
+    grid = rbf_compact.build_cell_grid(xs, rho=H)
+    H = grid.cell_size
+    Gy, Gx = grid.shape
+    cap = grid.cap
+    config.log.info(
+        "PU-TPS: grid %dx%d, cap %d (avg %.1f/cell)", Gy, Gx, cap,
+        n / (Gy * Gx),
+    )
+    xs_pad = grid.xs_pad.astype(dtype)
+    v_pad = rbf_compact.pack_values(grid, jnp.asarray(values, dtype))
+    xs9 = _neighborhood9(xs_pad)              # [Gy, Gx, W, 2]
+    v9 = _neighborhood9(v_pad[..., None])[..., 0]
+    W = xs9.shape[2]
+    rad = 1.5 * H
+
+    # Patch centers (cell centers) in standardized coords.
+    cy = grid.origin[0] + (jnp.arange(Gy, dtype=dtype) + 0.5) * H
+    cx = grid.origin[1] + (jnp.arange(Gx, dtype=dtype) + 0.5) * H
+    centers = jnp.stack(jnp.meshgrid(cy, cx, indexing="ij"), -1)  # [Gy,Gx,2]
+
+    xs9f = xs9.reshape(-1, W, 2)
+    v9f = v9.reshape(-1, W)
+    cf = centers.reshape(-1, 2)
+
+    def solve_chunk(args):
+        xb, vb, cc = args  # [c, W, 2], [c, W], [c, 2]
+        u = (xb - cc[:, None, :]) / rad
+        pad_row = jnp.any(jnp.abs(u) > 100.0, axis=-1)  # poison slots
+        u = jnp.where(pad_row[..., None], 0.0, u)
+        diff = u[:, :, None, :] - u[:, None, :, :]
+        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        A = _phi_tps(r)
+        keep = ~pad_row
+        A = jnp.where(keep[:, :, None] & keep[:, None, :], A, 0.0)
+        eye = jnp.eye(W, dtype=A.dtype)
+        A = A + jnp.where(pad_row[:, :, None], eye, 0.0)
+        A = A + smooth * eye
+        P = jnp.concatenate(
+            [jnp.ones(u.shape[:2] + (1,), A.dtype), u], axis=-1
+        )
+        P = jnp.where(keep[..., None], P, 0.0)
+        top = jnp.concatenate([A, P], axis=2)
+        bot = jnp.concatenate(
+            [
+                jnp.swapaxes(P, 1, 2),
+                # tiny negative regularization keeps degenerate patches
+                # (e.g. <3 non-collinear sites at the hull edge) solvable
+                -1e-8 * jnp.eye(3, dtype=A.dtype)[None].repeat(
+                    xb.shape[0], 0
+                ),
+            ],
+            axis=2,
+        )
+        K = jnp.concatenate([top, bot], axis=1)
+        rhs = jnp.concatenate(
+            [jnp.where(keep, vb, 0.0), jnp.zeros((xb.shape[0], 3), A.dtype)],
+            axis=1,
+        )
+        sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+        lam = sol[:, :W] * keep
+        poly = sol[:, W:]
+        return lam, poly
+
+    C = xs9f.shape[0]
+    padc = (-C) % chunk
+    xs9p = jnp.concatenate(
+        [xs9f, jnp.full((padc, W, 2), _POISON, dtype)]
+    )
+    v9p = jnp.concatenate([v9f, jnp.zeros((padc, W), dtype)])
+    cfp = jnp.concatenate([cf, jnp.zeros((padc, 2), dtype)])
+    lam, poly = jax.lax.map(
+        solve_chunk,
+        (
+            xs9p.reshape(-1, chunk, W, 2),
+            v9p.reshape(-1, chunk, W),
+            cfp.reshape(-1, chunk, 2),
+        ),
+    )
+    lam = lam.reshape(-1, W)[:C].reshape(Gy, Gx, W)
+    poly = poly.reshape(-1, 3)[:C].reshape(Gy, Gx, 3)
+    return PuTps(
+        xs9=xs9,
+        lam=lam,
+        poly=poly,
+        origin=grid.origin.astype(dtype),
+        cell=float(H),
+        rad=float(rad),
+        shift=jnp.asarray(shift, dtype),
+        scale=jnp.asarray(scale, dtype),
+    )
+
+
+def evaluate(model: PuTps, q_raw):
+    """Blended evaluation at [B, 2] raw queries (jit-able)."""
+    dtype = model.xs9.dtype
+    q = jnp.atleast_2d(jnp.asarray(q_raw, dtype))
+    qs = model.scale * (q - model.shift)
+    Gy, Gx = model.shape
+    W = model.xs9.shape[2]
+    cell = jnp.asarray(model.cell, dtype)
+    ij = jnp.floor((qs - model.origin) / cell).astype(jnp.int32)
+    iy = jnp.clip(ij[:, 0], 0, Gy - 1)
+    ix = jnp.clip(ij[:, 1], 0, Gx - 1)
+    xs_flat = model.xs9.reshape(Gy * Gx, W, 2)
+    lam_flat = model.lam.reshape(Gy * Gx, W)
+    poly_flat = model.poly.reshape(Gy * Gx, 3)
+    wend = rbf.KERNELS["wendland_c2"].phi
+
+    num = jnp.zeros(q.shape[0], dtype)
+    den = jnp.zeros(q.shape[0], dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ny = jnp.clip(iy + di, 0, Gy - 1)
+            nx = jnp.clip(ix + dj, 0, Gx - 1)
+            valid = ((iy + di) == ny) & ((ix + dj) == nx)
+            rowsid = ny * Gx + nx
+            ctr = jnp.stack(
+                [
+                    model.origin[0] + (ny.astype(dtype) + 0.5) * cell,
+                    model.origin[1] + (nx.astype(dtype) + 0.5) * cell,
+                ],
+                -1,
+            )
+            dq = qs - ctr
+            wgt = wend(
+                jnp.sqrt(jnp.sum(dq * dq, axis=-1)), 1.0 / cell
+            ) * valid
+            xb = xs_flat[rowsid]          # [B, W, 2]
+            lb = lam_flat[rowsid]         # [B, W]
+            pb = poly_flat[rowsid]        # [B, 3]
+            u = (qs[:, None, :] - xb) / model.rad
+            # poison slots: lam is 0 there, so phi(huge) * 0 needs care —
+            # clamp the radius to keep f32 finite.
+            r = jnp.minimum(
+                jnp.sqrt(jnp.sum(u * u, axis=-1)), jnp.asarray(1e6, dtype)
+            )
+            uq = dq / model.rad
+            s_p = jnp.sum(_phi_tps(r) * lb, axis=-1) + (
+                pb[:, 0] + pb[:, 1] * uq[:, 0] + pb[:, 2] * uq[:, 1]
+            )
+            num = num + wgt * s_p
+            den = den + wgt
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)

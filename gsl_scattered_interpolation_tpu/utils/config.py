@@ -27,6 +27,36 @@ def env_seed(default: int | None = None):
     return int(v)
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (on-disk).
+
+    The device Delaunay build is a large XLA program whose TPU compile
+    (through the axon remote-compile tunnel) costs ~400s at 100k sites —
+    ~50x its execution time.  The persistent cache amortizes that to the
+    first run per (program, shape).  Set ``GSI_TPU_NOCACHE=1`` to skip,
+    ``GSI_TPU_CACHE_DIR`` to relocate (default ~/.cache/gsi_tpu_xla).
+    """
+    import os as _os
+
+    if _os.environ.get("GSI_TPU_NOCACHE") == "1":
+        return
+    if path is None:
+        path = _os.environ.get(
+            "GSI_TPU_CACHE_DIR",
+            _os.path.expanduser("~/.cache/gsi_tpu_xla"),
+        )
+    try:
+        import jax
+
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0
+        )
+    except Exception as e:  # cache is an optimization, never a failure
+        log.info("compile cache unavailable: %s", e)
+
+
 def env_setup() -> None:
     """Apply env configuration (call once, before first backend use)."""
     if os.environ.get("GSI_TPU_X64") == "1":
