@@ -1,22 +1,42 @@
-"""Benchmark: barycentric query throughput on TPU vs CPU baseline.
+"""Benchmarks against the BASELINE.md north-star configs (TPU v5e).
 
-North-star config 2 (BASELINE.json): batched point location + barycentric
-evaluation over a Delaunay triangulation.  Builds a 2000-site model,
-evaluates 10M queries on the TPU via the MXU dense-locate path (float32),
-and compares against scipy's compiled-C LinearNDInterpolator (Qhull) on
-the host CPU as the stand-in for CPU GSL.
+Headline (the ONE JSON line): barycentric query throughput over a 2k-site
+Delaunay triangulation via the Pallas locate kernel, vs scipy's compiled-C
+Qhull ``LinearNDInterpolator`` as the CPU-GSL stand-in.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The ``extra`` field carries the at-scale configs:
+  * build_1m        — 1M-site 2D Delaunay device build (f32, chunked) vs
+                      scipy Qhull ``Delaunay`` wall time            (config 1)
+  * queries_100m    — 100M queries over the 1M-site triangulation via the
+                      cell-candidate index                          (config 2)
+  * tps_100k        — partition-of-unity thin-plate fit at 100k sites,
+                      wall time + max interpolation residual        (config 3)
+  * wendland_1m     — compactly-supported Wendland-C2 fit at 1M sites
+                      (cell-list CG)                                (config 4)
+
+Set GSI_BENCH_SKIP=build,qscale,tps,wendland to skip parts (comma list);
+at-scale parts are skipped automatically off-TPU.  First-ever run pays XLA
+compiles through the axon tunnel; the repo ships its persistent compile
+cache (.jax_cache) so driver runs execute from cache.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+SKIP = set(
+    s.strip() for s in os.environ.get("GSI_BENCH_SKIP", "").split(",") if s
+)
 
-def main():
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def headline():
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +50,6 @@ def main():
     sites = rng.uniform(-0.5, 0.5, size=(n_sites, 2))
     values = np.sin(6 * sites[:, 0]) * np.cos(6 * sites[:, 1])
 
-    # Build (host engine; the device build's TPU compile is amortized in
-    # round benchmarks separately) and freeze to device arrays.
     t0 = time.perf_counter()
     tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
     build_s = time.perf_counter() - t0
@@ -42,9 +60,7 @@ def main():
     n_chunks = 10
     method = "pallas" if jax.devices()[0].platform == "tpu" else "dense"
     f = jax.jit(lambda q: dt.interp(tri, resp, q, method=method))
-    Q = jnp.asarray(
-        rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32
-    )
+    Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32)
     jax.block_until_ready(f(Q))  # compile
     t0 = time.perf_counter()
     for _ in range(n_chunks):
@@ -53,7 +69,6 @@ def main():
     dt_s = time.perf_counter() - t0
     qps = n_chunks * chunk / dt_s
 
-    # CPU baseline: scipy's compiled Qhull linear interpolator.
     from scipy.interpolate import LinearNDInterpolator
 
     lin = LinearNDInterpolator(sites, values)
@@ -61,8 +76,163 @@ def main():
     lin(qb[:100])  # warm
     t0 = time.perf_counter()
     lin(qb)
-    base_s = time.perf_counter() - t0
-    base_qps = len(qb) / base_s
+    base_qps = len(qb) / (time.perf_counter() - t0)
+    _log(
+        f"headline: {n_chunks}x{chunk} queries in {dt_s:.2f}s; host build "
+        f"{build_s:.1f}s; scipy {base_qps:.0f} q/s"
+    )
+    return qps, base_qps
+
+
+def bench_build_and_queries(extra):
+    """Configs 1 + 2 at scale: 1M-site build, then 100M queries over it."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsl_scattered_interpolation_tpu.models import (
+        device_delaunay as dd,
+        device_tri as dt,
+        host_tree as ht,
+    )
+
+    N = 1_000_000
+    rng = np.random.default_rng(7)
+    sites = rng.uniform(-0.5, 0.5, size=(N, 2))
+    values = np.sin(6 * sites[:, 0]) * np.cos(6 * sites[:, 1])
+
+    if "build" not in SKIP:
+        t0 = time.perf_counter()
+        tri, shuf = dd.triangulate(
+            sites,
+            flags=ht.NOSTANDARDIZE,
+            dtype=jnp.float32,
+            chunk_threshold=400_000,
+            grid_res=512,
+        )
+        t_build = time.perf_counter() - t0
+        from scipy.spatial import Delaunay as ScipyDelaunay
+
+        t0 = time.perf_counter()
+        ScipyDelaunay(sites)
+        t_qhull = time.perf_counter() - t0
+        extra["build_1m"] = {
+            "tpu_s": round(t_build, 1),
+            "qhull_s": round(t_qhull, 1),
+            "vs_qhull": round(t_qhull / t_build, 3),
+        }
+        _log(f"build_1m: tpu {t_build:.1f}s vs qhull {t_qhull:.1f}s")
+    else:
+        tri, shuf = None, None
+
+    if "qscale" not in SKIP:
+        if tri is None:
+            tri, shuf = dd.triangulate(
+                sites,
+                flags=ht.NOSTANDARDIZE,
+                dtype=jnp.float32,
+                grid_res=512,
+            )
+        resp = dt.response_for_build(shuf, values).astype(jnp.float32)
+        cells = dt.build_cell_index(tri.cast(jnp.float32))
+        tri32 = tri.cast(jnp.float32)
+        chunk = 5_000_000
+        f = jax.jit(
+            lambda q: dt.interp(tri32, resp, q, method="cells", cells=cells)
+        )
+        Q = jnp.asarray(
+            rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32
+        )
+        jax.block_until_ready(f(Q))
+        n_chunks = 20  # 100M total
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            out = f(Q)
+        jax.block_until_ready(out)
+        dt_s = time.perf_counter() - t0
+        extra["queries_100m"] = {
+            "qps": round(n_chunks * chunk / dt_s),
+            "total_s": round(dt_s, 1),
+        }
+        _log(f"queries_100m: {n_chunks*chunk/dt_s/1e6:.1f} Mq/s")
+
+
+def bench_tps(extra):
+    """Config 3: thin-plate at 100k sites in < 10 s."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsl_scattered_interpolation_tpu.models import rbf_pu
+
+    N = 100_000
+    rng = np.random.default_rng(3)
+    sites = rng.uniform(-1.0, 1.0, size=(N, 2))
+    values = np.sin(3 * sites[:, 0]) * np.cos(2 * sites[:, 1]) + sites[:, 1]
+
+    t0 = time.perf_counter()
+    model = rbf_pu.fit(sites, values, dtype=jnp.float32)
+    jax.block_until_ready(model.lam)
+    t_fit = time.perf_counter() - t0
+    # interpolation residual at a site sample (exactness is the TPS
+    # contract; PU patches solve exactly per cell)
+    idx = rng.choice(N, 20_000, replace=False)
+    pred = np.asarray(rbf_pu.evaluate(model, jnp.asarray(sites[idx])))
+    resid = float(np.max(np.abs(pred - values[idx])))
+    extra["tps_100k"] = {
+        "fit_s": round(t_fit, 2),
+        "max_site_resid": float(f"{resid:.3e}"),
+        "target_s": 10.0,
+    }
+    _log(f"tps_100k: fit {t_fit:.2f}s, max site residual {resid:.2e}")
+
+
+def bench_wendland(extra):
+    """Config 4: compact Wendland-C2 at 1M sites."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsl_scattered_interpolation_tpu.models import rbf_compact
+
+    N = 1_000_000
+    rng = np.random.default_rng(4)
+    sites = rng.uniform(-1.0, 1.0, size=(N, 2))
+    values = np.sin(3 * sites[:, 0]) * np.cos(2 * sites[:, 1])
+
+    t0 = time.perf_counter()
+    m = rbf_compact.CompactRbf(
+        sites, values, tol=1e-6, maxiter=400, dtype=jnp.float32
+    )
+    t_fit = time.perf_counter() - t0
+    idx = rng.choice(N, 10_000, replace=False)
+    pred = np.asarray(m.eval(sites[idx]))
+    resid = float(np.max(np.abs(pred - values[idx])))
+    extra["wendland_1m"] = {
+        "fit_s": round(t_fit, 1),
+        "max_site_resid": float(f"{resid:.3e}"),
+    }
+    _log(f"wendland_1m: fit {t_fit:.1f}s, max site residual {resid:.2e}")
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    qps, base_qps = headline()
+    extra = {}
+    if on_tpu:
+        for name, fn in [
+            ("build/qscale", bench_build_and_queries),
+            ("tps", bench_tps),
+            ("wendland", bench_wendland),
+        ]:
+            if all(p in SKIP for p in name.split("/")):
+                continue
+            try:
+                fn(extra)
+            except Exception as e:  # record, never sink the headline
+                extra[name.split("/")[0] + "_error"] = repr(e)[:200]
+                _log(f"{name} failed: {e!r}")
+    else:
+        _log("off-TPU: at-scale configs skipped")
 
     print(
         json.dumps(
@@ -71,14 +241,9 @@ def main():
                 "value": round(qps),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / base_qps, 2),
+                "extra": extra,
             }
         )
-    )
-    print(
-        f"# detail: {n_chunks}x{chunk} queries in {dt_s:.2f}s on "
-        f"{jax.devices()[0].device_kind}; host build {build_s:.1f}s; "
-        f"scipy LinearNDInterpolator {base_qps:.0f} q/s",
-        file=sys.stderr,
     )
 
 

@@ -1,0 +1,595 @@
+"""TPU-native dimension-generic Delaunay build: parallel Bowyer-Watson rounds.
+
+The reference's engine is dimension-generic throughout — ``simplex_tree_init``
+(linear_simplex.c:134-296) and insertion (:404-492) are parameterized by
+``dim`` — but restores Delaunayness with d->d bistellar flips (edge_flip.c),
+which is provably incomplete for d>=3 (flip sequences get stuck).  The host
+oracle (models/host_tree.py) already replaces flips with Bowyer-Watson cavity
+insertion, correct in every dimension.  This module is the DEVICE version of
+that cavity engine: the whole build runs as host-orchestrated rounds of one
+jit-compiled XLA program over fixed-capacity SoA arrays, inserting an
+*independent set* of points per round:
+
+  round:
+    1. every alive simplex claims its lowest-id uninserted site
+       (segment-min scatter), giving up to #simplexes candidates; a
+       compacted candidate buffer of static size S is carved out by
+       prefix-rank scatter;
+    2. each candidate grows its Bowyer-Watson cavity — the connected set of
+       simplexes whose circumsphere contains the site (same predicate and
+       ``r^2 (1 - 10 eps)`` tie-break as the host engine and the reference,
+       linear_simplex.c:495-537) — by bounded BFS over neighbor links into a
+       fixed [S, C] buffer;
+    3. candidates scatter their site id over their cavity AND its one-ring
+       halo (the simplexes sharing a boundary face); a candidate wins iff it
+       owns every simplex it touched.  Halo-inclusive ownership makes
+       concurrent insertions commute: a winner's cavity is separated from
+       every other winner's by at least one untouched simplex, so no new
+       simplex can invade another winner's conflict region — the classic
+       independent-set batched-Bowyer-Watson argument;
+    4. winners retriangulate: each boundary face becomes one new simplex
+       (site at slot 0, so slot 0 faces the external neighbor — the layout
+       of host_tree._insert_cavity and linear_simplex.c:477-478).  Carved
+       slots are reused first, the rest bump-allocated by prefix sum.
+       External back-pointers are scattered directly (each (ext, slot) pair
+       is written by exactly one winner — halo ownership again); internal
+       sibling links are resolved by batched ridge matching within each
+       cavity's face list;
+    5. uninserted sites whose containing simplex was carved re-locate among
+       the owning winner's new simplexes by best-worst barycentric weight
+       (the reference's fallback semantics, linear_simplex.c:363-400).
+
+Rounds repeat until every site is inserted; a round with zero winners
+escalates the cavity capacity C (rare: a cavity larger than C defers its
+site).  Exactly-degenerate input relies on the same deterministic build-time
+jitter as the 2D engine (device_delaunay.triangulate).
+
+Numerics: predicates run in the array dtype on the *standardized*
+coordinates.  float64 (CPU backend) reproduces the host oracle's simplex set
+exactly on generic-position data; float32 is best-effort (the compensated 2D
+predicates of ops/robust.py have no 3D counterpart yet) — large or
+near-degenerate 3D builds should use float64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+from ..utils import machine
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+class CavityState(NamedTuple):
+    tri_v: jax.Array     # [M, d+1] int32 vertex ids (-1 rows = dead/unused)
+    tri_n: jax.Array     # [M, d+1] int32 neighbor ids, -1 = boundary
+    n_tris: jax.Array    # scalar int32: bump-allocated slot count
+    site_tri: jax.Array  # [N] int32: containing simplex per site; -1 done
+    n_left: jax.Array    # scalar int32: uninserted site count
+
+
+def init_state(pts, N: int, M: int) -> CavityState:
+    d = pts.shape[-1]
+    tri_v = jnp.full((M, d + 1), -1, jnp.int32).at[0].set(
+        jnp.arange(d + 1, dtype=jnp.int32)
+    )
+    tri_n = jnp.full((M, d + 1), -1, jnp.int32)
+    return CavityState(
+        tri_v=tri_v,
+        tri_n=tri_n,
+        n_tris=jnp.int32(1),
+        site_tri=jnp.zeros(N, jnp.int32),
+        n_left=jnp.int32(N),
+    )
+
+
+def _insphere_det(verts, q):
+    """Direct in-circumsphere determinant test, any d in {2, 3}.
+
+    ``det[(v_i - q | |v_i - q|^2)] * sign(orient(verts))`` is positive iff
+    q lies strictly inside the circumsphere.  Unlike the cached-center
+    form (solve + distance compare, linear_simplex.c:556-605), this has no
+    division: on near-degenerate simplexes the center solve amplifies
+    rounding by the condition number (flat lattice tets -> garbage
+    spheres), while the determinant's absolute error stays O(eps * |v|^4)
+    — below the build jitter, so verdicts are geometrically meaningful on
+    jittered-degenerate input.  Degenerate (zero orientation) simplexes
+    count as containing everything (linear_simplex.c:517-521).
+    """
+    d = q.shape[-1]
+    rel = verts - q[..., None, :]                       # [.., d+1, d]
+    lift = jnp.sum(rel * rel, axis=-1)                  # [.., d+1]
+    if d == 2:
+        a, b, c = rel[..., 0, :], rel[..., 1, :], rel[..., 2, :]
+        la, lb, lc = lift[..., 0], lift[..., 1], lift[..., 2]
+        det = (
+            a[..., 0] * (b[..., 1] * lc - c[..., 1] * lb)
+            - a[..., 1] * (b[..., 0] * lc - c[..., 0] * lb)
+            + la * (b[..., 0] * c[..., 1] - c[..., 0] * b[..., 1])
+        )
+        e0 = verts[..., 1, :] - verts[..., 0, :]
+        e1 = verts[..., 2, :] - verts[..., 0, :]
+        orient = e0[..., 0] * e1[..., 1] - e0[..., 1] * e1[..., 0]
+    elif d == 3:
+        def det3(m):
+            return (
+                m[..., 0, 0]
+                * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+                - m[..., 0, 1]
+                * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+                + m[..., 0, 2]
+                * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+            )
+
+        rows = jnp.concatenate([rel, lift[..., None]], axis=-1)  # [..,4,4]
+        # cofactor expansion along the lift column
+        def minor(skip):
+            idx = [i for i in range(4) if i != skip]
+            return det3(rows[..., idx, :][..., :, :3])
+
+        det = (
+            -rows[..., 0, 3] * minor(0)
+            + rows[..., 1, 3] * minor(1)
+            - rows[..., 2, 3] * minor(2)
+            + rows[..., 3, 3] * minor(3)
+        )
+        # sign fix: det4 via last-column expansion = sum_i (-1)^(i+3)...
+        det = -det
+        e = verts[..., 1:, :] - verts[..., :1, :]       # [.., 3, 3]
+        orient = det3(e)
+    else:
+        raise NotImplementedError("insphere det: d in {2, 3}")
+    inside = det * jnp.sign(orient) > 0
+    return jnp.where(orient == 0, True, inside)
+
+
+def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
+    """Bounded BFS Bowyer-Watson cavity growth for S candidates.
+
+    Returns (cav [S, C] simplex ids (-1 pad), n_cav [S], overflow [S]).
+    One cavity member is expanded per loop iteration (its <=d+1 untested
+    neighbors are circumsphere-tested and appended if violating), so
+    membership dedup is a single [S, d+1, C] compare per step and the loop
+    runs at most C iterations.
+    """
+    S = cand_tri.shape[0]
+    d = pts.shape[-1]
+    dtype = pts.dtype
+    cav0 = jnp.full((S, C), -1, jnp.int32).at[:, 0].set(
+        jnp.where(active, cand_tri, -1)
+    )
+    n0 = jnp.where(active, 1, 0).astype(jnp.int32)
+    ptr0 = jnp.zeros(S, jnp.int32)
+    ov0 = jnp.zeros(S, bool)
+
+    def cond(c):
+        cav, n_cav, ptr, ov = c
+        return jnp.any((ptr < n_cav) & ~ov)
+
+    def body(c):
+        cav, n_cav, ptr, ov = c
+        act = (ptr < n_cav) & ~ov
+        cur = jnp.take_along_axis(
+            cav, jnp.where(act, ptr, 0)[:, None], axis=1
+        )[:, 0]
+        cur = jnp.where(act, cur, 0)
+        nbrs = geometry.take_rows(st.tri_n, cur)          # [S, d+1]
+        nb_ok = act[:, None] & (nbrs >= 0)
+        nb_safe = jnp.where(nb_ok, nbrs, 0)
+        nb_verts = geometry.take_rows(
+            pts, geometry.take_rows(st.tri_v, nb_safe)
+        )                                              # [S, d+1, d+1, d]
+        viol = _insphere_det(nb_verts, sites_q[:, None, :])
+        seen = jnp.any(nbrs[:, :, None] == cav[:, None, :], axis=-1)
+        add = nb_ok & viol & ~seen                        # [S, d+1]
+        # append at n_cav + prefix-rank within the row
+        rank = jnp.cumsum(add.astype(jnp.int32), axis=1) - 1
+        cnt = jnp.sum(add.astype(jnp.int32), axis=1)
+        would = n_cav + cnt
+        ov_new = ov | (act & (would > C))
+        pos = n_cav[:, None] + rank
+        keep = add & ~ov_new[:, None]
+        flat_pos = jnp.where(
+            keep, jnp.arange(S)[:, None] * C + pos, S * C + 1
+        )
+        cav = cav.reshape(-1).at[flat_pos.reshape(-1)].set(
+            nbrs.reshape(-1), mode="drop"
+        ).reshape(S, C)
+        n_cav = jnp.where(act & ~ov_new, would, n_cav).astype(jnp.int32)
+        ptr = jnp.where(act, ptr + 1, ptr).astype(jnp.int32)
+        return cav, n_cav, ptr, ov_new
+
+    cav, n_cav, _ptr, ov = jax.lax.while_loop(
+        cond, body, (cav0, n0, ptr0, ov0)
+    )
+    return cav, n_cav, ov
+
+
+def _round(pts, st: CavityState, S: int, C: int):
+    """One parallel cavity-insertion round (jit; S, C static).
+
+    Returns (state, n_winners).
+    """
+    M, dp1 = st.tri_v.shape
+    d = dp1 - 1
+    N = st.site_tri.shape[0]
+    dtype = pts.dtype
+    F = 2 * C + 2 if d >= 3 else C + 2  # max boundary faces, connected cavity
+    site_ids = jnp.arange(N, dtype=jnp.int32)
+    tri_v, tri_n, n_tris, site_tri, n_left = st
+
+    # -- 1. claims + compaction ------------------------------------------
+    tgt = jnp.where(site_tri >= 0, site_tri, M)
+    claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
+    has = claim != INT_MAX
+    rank = jnp.cumsum(has.astype(jnp.int32)) - 1
+    slot = jnp.where(has & (rank < S), rank, S + 1)
+    t_all = jnp.arange(M, dtype=jnp.int32)
+    cand_tri = jnp.full(S, -1, jnp.int32).at[slot].set(t_all, mode="drop")
+    cand_site = jnp.full(S, -1, jnp.int32).at[slot].set(claim, mode="drop")
+    active = cand_site >= 0
+    spid = jnp.where(active, cand_site + d + 1, 0)  # point ids: 0..d cage
+    q = geometry.take_rows(pts, spid)               # [S, d]
+
+    # -- 2. cavity growth ------------------------------------------------
+    cav, n_cav, overflow = _grow_cavities(pts, st, q, cand_tri, active, C)
+    memb = jnp.arange(C)[None, :] < n_cav[:, None]  # [S, C]
+    cav_safe = jnp.where(memb, cav, 0)
+
+    # -- 3. halo-inclusive ownership -------------------------------------
+    prio = jnp.where(active & ~overflow, cand_site, INT_MAX)
+    owner = jnp.full(M + 1, INT_MAX, jnp.int32)
+    own_tgt = jnp.where(memb, cav_safe, M)
+    owner = owner.at[own_tgt].min(jnp.broadcast_to(prio[:, None], (S, C)))
+    halo = geometry.take_rows(tri_n, cav_safe)      # [S, C, d+1]
+    halo_in_cav = jnp.any(
+        halo[:, :, :, None] == cav[:, None, None, :], axis=-1
+    )
+    halo_ok = memb[:, :, None] & (halo >= 0) & ~halo_in_cav
+    halo_safe = jnp.where(halo_ok, halo, 0)
+    halo_tgt = jnp.where(halo_ok, halo, M)
+    owner = owner.at[halo_tgt].min(
+        jnp.broadcast_to(prio[:, None, None], (S, C, dp1))
+    )
+    owner = owner[:M]
+    mine_cav = geometry.take_rows(owner, cav_safe) == prio[:, None]
+    mine_halo = geometry.take_rows(owner, halo_safe) == prio[:, None, None]
+    win = (
+        active
+        & ~overflow
+        & jnp.all(mine_cav | ~memb, axis=1)
+        & jnp.all(mine_halo | ~halo_ok, axis=(1, 2))
+    )
+
+    # -- 4. boundary faces ------------------------------------------------
+    # face (m, f): cavity member m's face f whose neighbor is outside.
+    # Computed for every active candidate (win is refined below by the
+    # manifoldness and capacity guards, which need the face lists).
+    is_bnd = memb[:, :, None] & ((halo < 0) | ~halo_in_cav)  # [S, C, d+1]
+    is_bnd = is_bnd & active[:, None, None] & ~overflow[:, None, None]
+    bflat = is_bnd.reshape(S, C * dp1)
+    frank = jnp.cumsum(bflat.astype(jnp.int32), axis=1) - 1
+    n_face = jnp.sum(bflat.astype(jnp.int32), axis=1)   # [S]
+    face_ov = n_face > F  # non-manifold or pathological; defer
+    bflat = bflat & ~face_ov[:, None]
+    # face vertex lists: member verts excluding slot f (cyclic order)
+    cav_verts = geometry.take_rows(tri_v, cav_safe)     # [S, C, d+1]
+    take = (
+        jnp.arange(dp1)[:, None] + 1 + jnp.arange(d)[None, :]
+    ) % dp1                                             # [d+1, d]
+    fverts = jnp.take(cav_verts, take.reshape(-1), axis=2).reshape(
+        S, C, dp1, d
+    )                                                   # [S, C, d+1, d]
+    fown = jnp.broadcast_to(cav_safe[:, :, None], (S, C, dp1))
+    # compact each per-face scalar to [S, F] by prefix-rank scatter
+    pos = jnp.where(
+        bflat, jnp.arange(S)[:, None] * F + frank, S * F + 1
+    ).reshape(-1)
+
+    def compact(x, fill):
+        flat = jnp.full(S * F + 2, fill, x.dtype)
+        flat = flat.at[pos].set(x.reshape(-1), mode="drop")
+        return flat[: S * F].reshape(S, F)
+
+    fverts_c = jnp.stack(
+        [compact(fverts[..., j], jnp.int32(-1)) for j in range(d)], axis=-1
+    )                                                   # [S, F, d]
+    fext_c = compact(halo, jnp.int32(-1))               # [S, F]
+    fown_c = compact(fown, jnp.int32(-1))               # [S, F]
+    fcand = jnp.arange(F)[None, :] < n_face[:, None]    # faces per candidate
+
+    # -- manifoldness guard ----------------------------------------------
+    # On exactly-degenerate input (cospherical lattices), noise-level
+    # in-sphere verdicts can grow a PINCHED cavity whose boundary is not a
+    # closed manifold: some ridge then belongs to != 2 boundary faces and
+    # re-starring would corrupt the link structure (the host engine
+    # asserts this invariant, host_tree.py:400).  Such candidates are
+    # deferred — the site retries after the neighborhood changes.
+    ridge_take0 = (
+        jnp.arange(d)[:, None] + 1 + jnp.arange(d - 1)[None, :]
+    ) % d                                               # [d, d-1]
+    ridges0 = jnp.take(
+        fverts_c, ridge_take0.reshape(-1), axis=2
+    ).reshape(S, F, d, d - 1)
+    in_face0 = jnp.any(
+        ridges0[:, :, :, :, None, None]
+        == fverts_c[:, None, None, None, :, :],
+        axis=-1,
+    )
+    match0 = jnp.all(in_face0, axis=3)                  # [S, F, d, F]
+    jj0 = jnp.arange(F)
+    match0 = match0 & (jj0[None, :, None, None] != jj0[None, None, None, :])
+    match0 = match0 & fcand[:, None, None, :] & fcand[:, :, None, None]
+    ridge_deg = jnp.sum(match0.astype(jnp.int32), axis=-1)  # [S, F, d]
+    manifold = jnp.all(
+        jnp.where(fcand[:, :, None], ridge_deg == 1, True), axis=(1, 2)
+    )
+    win = win & ~face_ov & manifold
+    # capacity: keep the prefix of winners whose fresh allocations fit in M
+    # (dropping a suffix leaves earlier winners' slot bases unchanged)
+    fresh_try = jnp.where(win, jnp.maximum(n_face - n_cav, 0), 0)
+    win = win & ((n_tris + jnp.cumsum(fresh_try)) <= M)
+    fvalid = fcand & win[:, None]
+
+    # -- slot allocation: reuse carved, bump the rest ---------------------
+    fresh_cnt = jnp.where(win, jnp.maximum(n_face - n_cav, 0), 0)
+    fresh_base = (n_tris + jnp.cumsum(fresh_cnt) - fresh_cnt).astype(
+        jnp.int32
+    )
+    j_idx = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :], (S, F)
+    )
+    reuse = j_idx < n_cav[:, None]
+    new_id = jnp.where(
+        reuse,
+        jnp.take_along_axis(cav, jnp.minimum(j_idx, C - 1), axis=1),
+        fresh_base[:, None] + (j_idx - n_cav[:, None]),
+    )
+    new_id = jnp.where(fvalid, new_id, -1)              # [S, F]
+    n_tris = (n_tris + jnp.sum(fresh_cnt)).astype(jnp.int32)
+
+    # dead carved slots (cavity bigger than its boundary: F < n_cav)
+    dead = memb & win[:, None] & (jnp.arange(C)[None, :] >= n_face[:, None])
+    dead_rows = jnp.where(dead, cav_safe, M + 1)
+    tri_v = tri_v.at[dead_rows.reshape(-1)].set(-1, mode="drop")
+
+    # -- write new simplexes ---------------------------------------------
+    nv = jnp.concatenate(
+        [jnp.broadcast_to(spid[:, None, None], (S, F, 1)), fverts_c], axis=-1
+    )                                                   # [S, F, d+1]
+    rows_new = jnp.where(fvalid, new_id, M + 1)
+    tri_v = tri_v.at[rows_new.reshape(-1)].set(
+        nv.reshape(-1, dp1), mode="drop"
+    )
+
+    # -- neighbor wiring --------------------------------------------------
+    # slots 1..d: sibling new simplex sharing ridge = face minus vertex
+    # m-1; reuse the manifoldness pass's ridge matching (winners passed
+    # ridge_deg == 1, so argmax picks the unique sibling).
+    sib = jnp.argmax(match0, axis=-1)                   # [S, F, d]
+    nn_rest = jnp.take_along_axis(
+        jnp.broadcast_to(new_id[:, None, None, :], (S, F, d, F)),
+        sib[..., None],
+        axis=-1,
+    )[..., 0]                                           # [S, F, d]
+    nn = jnp.concatenate([fext_c[..., None], nn_rest], axis=-1)
+    tri_n = tri_n.at[rows_new.reshape(-1)].set(
+        nn.reshape(-1, dp1), mode="drop"
+    )
+
+    # external back-pointers: ext's slot that pointed at the carved owner
+    ext_ok = fvalid & (fext_c >= 0)
+    ext_safe = jnp.where(ext_ok, fext_c, 0)
+    ext_slot = jnp.argmax(
+        geometry.take_rows(tri_n, ext_safe) == fown_c[..., None], axis=-1
+    ).astype(jnp.int32)
+    flat_ext = jnp.where(ext_ok, ext_safe * dp1 + ext_slot, M * dp1 + 1)
+    tri_n = (
+        tri_n.reshape(-1)
+        .at[flat_ext.reshape(-1)]
+        .set(new_id.reshape(-1), mode="drop")
+        .reshape(M, dp1)
+    )
+
+    # -- 5. relocate sites in carved cavities ----------------------------
+    win_of = jnp.full(M + 1, -1, jnp.int32)
+    carved_tgt = jnp.where(memb & win[:, None], cav_safe, M)
+    win_of = win_of.at[carved_tgt].set(
+        jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C)),
+        mode="drop",
+    )[:M]
+    st_safe = jnp.where(site_tri >= 0, site_tri, 0)
+    w_i = win_of[st_safe]                               # [N]
+    needs = (site_tri >= 0) & (w_i >= 0)
+    w_safe = jnp.where(needs, w_i, 0)
+    qs = geometry.take_rows(pts, site_ids + d + 1)      # [N, d]
+
+    # best-worst candidate scan over the F new simplexes of the owning
+    # winner (lax loop keeps the [N, F, d+1, d] vertex gather out of
+    # memory — only one [N, d+1, d] slab is live per step)
+    def reloc_step(j, carry):
+        best_w, best_t = carry
+        cj = jnp.take_along_axis(
+            new_id, jnp.full((S, 1), j, jnp.int32), axis=1
+        )[:, 0]
+        okj = jnp.take_along_axis(
+            fvalid, jnp.full((S, 1), j, jnp.int32), axis=1
+        )[:, 0]
+        tj = jnp.where(okj[w_safe], cj[w_safe], 0)      # [N]
+        verts = geometry.take_rows(pts, geometry.take_rows(tri_v, tj))
+        coords, okc = geometry.bary_coords(verts, qs)
+        # bary_coords returns weights of vertices 0..d-1; vertex d's
+        # weight is 1 - sum (ops/geometry.py:126-128) — the containment
+        # minimum must include it.
+        wj = jnp.minimum(
+            jnp.min(coords, axis=-1), 1.0 - jnp.sum(coords, axis=-1)
+        )
+        wj = jnp.where(okc & okj[w_safe], wj, -jnp.inf)
+        better = wj > best_w
+        return (
+            jnp.where(better, wj, best_w),
+            jnp.where(better, tj, best_t).astype(jnp.int32),
+        )
+
+    best_w0 = jnp.full(N, -jnp.inf, dtype)
+    best_t0 = jnp.zeros(N, jnp.int32)
+    _bw, best_t = jax.lax.fori_loop(0, F, reloc_step, (best_w0, best_t0))
+    site_tri = jnp.where(needs, best_t, site_tri)
+
+    # retire inserted sites
+    ins = jnp.full(N + 1, False).at[
+        jnp.where(win, cand_site, N)
+    ].set(True, mode="drop")[:N]
+    site_tri = jnp.where(ins, -1, site_tri)
+    n_w = jnp.sum(win.astype(jnp.int32))
+    n_left = (n_left - n_w).astype(jnp.int32)
+    return (
+        CavityState(tri_v, tri_n, n_tris, site_tri, n_left),
+        n_w,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
+def _round_jit(pts, st, S, C):
+    return _round(pts, st, S, C)
+
+
+def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
+          slots_per_site: float | None = None):
+    """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
+
+    Args:
+      sites_std: [N, d] standardized site coords, insertion-shuffled.
+      cage_std: [d+1, d] standardized cage vertices.
+      cavity_cap: static per-candidate cavity size bound; escalated (x2,
+        recompile — persistently cached) if a round ever strands every
+        candidate.
+      s_cap: max concurrent candidates per round.
+
+    Returns (tri_v [M, d+1], tri_n [M, d+1], alive [M], n_tris).
+    """
+    from ..utils import config
+    import time as _time
+
+    N, d = sites_std.shape
+    dtype = sites_std.dtype
+    if slots_per_site is None:
+        # steady-state simplex counts: ~2N (d=2), ~6.8N (d=3) + transient
+        slots_per_site = 2.2 if d == 2 else 9.0 if d == 3 else 12.0
+    M = int(slots_per_site * N) + 16 * (d + 1)
+    pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
+    st = init_state(pts, N, M)
+    C = cavity_cap
+    alive_est = 1
+    rounds = 0
+    t0 = _time.perf_counter()
+    n_left = N
+    while n_left > 0:
+        S = 1 << max(0, (min(max(alive_est, 1), n_left, s_cap) - 1)
+                     ).bit_length()
+        st, _n_w_dev = _round_jit(pts, st, S, C)
+        # one device->host sync per round (the axon tunnel charges ~0.5s
+        # per readback): derive the winner count from the n_left delta
+        new_left = int(st.n_left)
+        n_w = n_left - new_left
+        n_left = new_left
+        rounds += 1
+        if n_w == 0 and int(st.n_tris) > M - (2 * C + 2):
+            # the round program refuses wins that would overflow M
+            from ..utils import errors
+
+            raise errors.CapacityError(
+                f"cavity build: slot capacity {M} exhausted "
+                f"({int(st.n_tris)} allocated); raise slots_per_site"
+            )
+        if n_w == 0:
+            C *= 2
+            config.log.info(
+                "cavity build: round %d stranded, escalating C to %d",
+                rounds, C,
+            )
+            if C > 4096:
+                raise RuntimeError(
+                    "cavity build: cavities exceed 4096 simplexes"
+                )
+        # winners each net ~(F - n_cav) new simplexes; alive set grows
+        # roughly (d+1)x the winner count per round early on
+        alive_est = min(alive_est + (d + 2) * max(n_w, 1), s_cap)
+        config.log.info(
+            "cavity round %d: S=%d winners=%d left=%d %.2fs",
+            rounds, S, n_w, n_left, _time.perf_counter() - t0,
+        )
+    alive = st.tri_v[:, 0] >= 0
+    return st.tri_v, st.tri_n, alive, st.n_tris
+
+
+def triangulate(
+    sites_raw,
+    lo=None,
+    hi=None,
+    flags: int = 0,
+    key=None,
+    dtype=jnp.float64,
+    grid_res: int = 256,
+    cavity_cap: int = 32,
+    s_cap: int = 2048,
+):
+    """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
+    shuffle, build, freeze (the device analog of ``simplex_tree_init``,
+    linear_simplex.c:134-296, with cavity insertion in place of flips).
+
+    Returns (DeviceTriangulation, shuffle permutation) — same contract as
+    device_delaunay.triangulate.
+    """
+    from . import device_tri, host_tree
+    from ..utils import rng as rng_util
+
+    sites_raw = np.asarray(sites_raw, np.float64)
+    n, d = sites_raw.shape
+    if flags & host_tree.NOSTANDARDIZE:
+        lo_, hi_ = np.full(d, -0.5), np.full(d, 0.5)
+    else:
+        lo_ = np.asarray(lo, np.float64) if lo is not None else sites_raw.min(0)
+        hi_ = np.asarray(hi, np.float64) if hi is not None else sites_raw.max(0)
+    shift = (lo_ + hi_) / 2.0
+    ext = hi_ - lo_
+    scale = np.where(ext > 0, 1.0 / np.where(ext > 0, ext, 1.0), 1.0)
+    if (flags & host_tree.ISOSCALE) and not (flags & host_tree.NOSTANDARDIZE):
+        scale = np.full(d, scale.min())
+
+    shuffle = rng_util.insertion_shuffle(key, n)
+    sites_shuffled = sites_raw[shuffle]
+    cage_raw = geometry.cage_vertices(d, shift, scale, np.dtype(dtype).type)
+    sites_std = np.asarray(scale * (sites_shuffled - shift), np.float64)
+    cage_std = jnp.asarray(scale * (cage_raw - shift), dtype)
+
+    # Deterministic build-time jitter for exactly-degenerate input (see
+    # device_delaunay.triangulate); evaluation keeps exact coordinates.
+    # The cavity engine's in-sphere runs in PLAIN dtype arithmetic (no
+    # compensated 3D predicates yet), whose error on O(1) standardized
+    # coords is ~1e2*eps: the f64 jitter is set well above that so that
+    # cospherical ties resolve CONSISTENTLY and cavities stay manifold
+    # (8 ulps = 2e-15 sits inside predicate noise; 2^16 ulps = 1.5e-11 is
+    # still ~1e-10 relative displacement — invisible to interpolation).
+    jit_ulps = 8.0 if dtype == jnp.float32 else float(1 << 16)
+    jit_mag = jit_ulps * machine.eps(dtype)
+    prng = np.random.default_rng(12345)
+    sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
+
+    tri_v, tri_n, alive, _ = build(
+        jnp.asarray(sites_build, dtype),
+        cage_std,
+        cavity_cap=cavity_cap,
+        s_cap=s_cap,
+    )
+    points_raw = np.concatenate([cage_raw, sites_shuffled])
+    tri = device_tri.from_arrays(
+        points_raw, shift, scale, tri_v, tri_n, alive, grid_res=grid_res
+    )
+    return tri, shuffle

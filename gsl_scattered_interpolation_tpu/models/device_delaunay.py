@@ -54,6 +54,17 @@ from ..utils import machine
 INT_MAX = np.iinfo(np.int32).max
 
 
+def bucket_size(n: int, floor: int = 256) -> int:
+    """Smallest {1, 1.5} x 2^k >= n: the shape-bucket ladder (<=33% pad
+    waste) that keeps the number of distinct compiled build programs —
+    and persistent-cache entries — logarithmic in problem size."""
+    n = max(n, floor)
+    p = 1 << (n - 1).bit_length()
+    if 3 * p // 4 >= n:  # 1.5 * 2^(k-1)
+        return 3 * p // 4
+    return p
+
+
 class BuildState(NamedTuple):
     tri_v: jax.Array     # [M, 3] int32 vertex ids (-1 rows = unallocated)
     tri_n: jax.Array     # [M, 3] int32 neighbor ids, -1 = boundary
@@ -130,8 +141,16 @@ def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
     return cc.at[tgt].set(packed, mode="drop")
 
 
-def _init_state(pts, N: int) -> BuildState:
+def _init_state(pts, N: int, n_real: int | None = None) -> BuildState:
+    """Initial build state.  ``n_real < N`` marks rows [n_real, N) as
+    padding (pre-inserted, never claimed) — shape bucketing pads N up to a
+    bucket size so one compiled program (and one persistent-cache entry)
+    serves a whole range of problem sizes."""
     M = 2 * N + 3
+    if n_real is None:
+        n_real = N
+    n_real = jnp.asarray(n_real, jnp.int32)  # traced: keeps the program
+    # independent of the real site count within a shape bucket
     dtype = pts.dtype
     tri_v = jnp.full((M, 3), -1, jnp.int32).at[0].set(
         jnp.arange(3, dtype=jnp.int32)
@@ -146,8 +165,10 @@ def _init_state(pts, N: int) -> BuildState:
         tri_n=tri_n,
         cc=cc0,
         n_tris=jnp.int32(1),
-        site_tri=jnp.zeros(N, jnp.int32),
-        n_left=jnp.int32(N),
+        site_tri=jnp.where(
+            jnp.arange(N) < n_real, jnp.int32(0), jnp.int32(-1)
+        ),
+        n_left=n_real,
     )
 
 
@@ -386,6 +407,7 @@ def build_2d(
     max_flip_rounds: int = 4096,
     flips_per_round: int = 2,
     max_rounds: int = 0,
+    n_real: int | None = None,
 ):
     """Build the Delaunay triangulation of cage+sites on device.
 
@@ -404,7 +426,7 @@ def build_2d(
     N = sites_std.shape[0]
     dtype = sites_std.dtype
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])  # [N+3, 2]
-    state = _init_state(pts, N)
+    state = _init_state(pts, N, n_real)
 
     def outer_cond(carry):
         st, rounds = carry
@@ -437,14 +459,22 @@ def build_2d_chunked(
     flips_per_round: int = 2,
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
+    n_real: int | None = None,
+    dispatch_target_s: float = 20.0,
 ):
-    """Host-orchestrated build: one short device execution per round.
+    """Host-orchestrated build: a few short device executions.
 
     Identical algorithm to :func:`build_2d`, but the outer loop runs in
-    Python with donated on-device state — each execution is O(one round),
-    so multi-minute builds (1M+ sites) never trip the TPU execution
-    watchdog, and progress is observable.  Dispatch overhead is a few ms
-    per round over ~O(log N) rounds: negligible.
+    Python with donated on-device state, in batches of k insertion rounds
+    per dispatch.  Two reasons this path exists:
+
+    * a single multi-minute device execution (1M+ sites) trips the TPU
+      runtime watchdog — bounded batches keep each execution short;
+    * through the axon tunnel, each dispatch's termination check costs a
+      device->host scalar readback (~0.5 s measured — ~1000x the actual
+      round execution), so rounds are batched with ``lax.while_loop`` and
+      k adapts (powers of two) to keep each dispatch near
+      ``dispatch_target_s`` while amortizing the sync.
     """
     import time as _time
 
@@ -455,36 +485,60 @@ def build_2d_chunked(
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def one_round(pts, st):
-        st = _split_round(pts, st)
-        st, _ = _flip_rounds(pts, st, flips_per_round)
+    def k_rounds(pts, st, k):
+        # k is a traced operand (not static): every batch size shares ONE
+        # compiled program — compile via the axon tunnel costs ~50x
+        # execution, so program count matters more than loop-bound folding.
+        def cond(c):
+            st, it = c
+            return jnp.logical_and(st.n_left > 0, it < k)
+
+        def body(c):
+            st, it = c
+            st = _split_round(pts, st)
+            st, _ = _flip_rounds(pts, st, flips_per_round)
+            return st, it + 1
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
         return st
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def cleanup(pts, st):
-        return _flip_rounds(pts, st, cleanup_chunk)
+    def cleanup(pts, st, cap):
+        return _flip_rounds(pts, st, cap)  # cap traced: one program
 
-    st = _init_state(pts, N)
+    st = _init_state(pts, N, n_real)
     rounds = 0
+    k = 1
     t0 = _time.perf_counter()
     while int(st.n_left) > 0:
-        st = one_round(pts, st)
-        rounds += 1
+        td = _time.perf_counter()
+        st = k_rounds(pts, st, jnp.int32(k))
+        n_left = int(st.n_left)  # forces the sync; count it in the wall
+        wall = _time.perf_counter() - td
+        rounds += k
         config.log.info(
-            "build round %d: %d left, %.2fs",
-            rounds,
-            int(st.n_left),
-            _time.perf_counter() - t0,
+            "build rounds ~%d (k=%d, %.2fs): %d left, %.2fs total",
+            rounds, k, wall, n_left, _time.perf_counter() - t0,
         )
+        if wall < dispatch_target_s / 2 and k < 64:
+            k *= 2
+        elif wall > 2 * dispatch_target_s and k > 1:
+            k //= 2
     t1 = _time.perf_counter()
     flip_rounds_used = 0
+    cap = max(1, cleanup_chunk // 8)
     for _ in range(max_cleanup_chunks):
-        st, used = cleanup(pts, st)
-        flip_rounds_used += int(used)
-        if int(used) < cleanup_chunk:
+        td = _time.perf_counter()
+        st, used = cleanup(pts, st, jnp.int32(cap))
+        used = int(used)
+        flip_rounds_used += used
+        if used < cap:
             break
+        wall = _time.perf_counter() - td
+        if wall < dispatch_target_s / 2 and cap < cleanup_chunk:
+            cap *= 2
     config.log.info(
-        "build: %d insert rounds %.1fs, %d cleanup flip rounds %.1fs",
+        "build: ~%d insert rounds %.1fs, %d cleanup flip rounds %.1fs",
         rounds,
         t1 - t0,
         flip_rounds_used,
@@ -552,17 +606,28 @@ def triangulate(
     prng = np.random.default_rng(12345)
     sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
 
+    # Shape bucketing: pad the site count up to the next {1, 1.5}x2^k
+    # bucket with pre-inserted (never-claimed) pad rows, so the compiled
+    # build program — and its persistent-cache entry — is reused across a
+    # whole range of N.  XLA compile through the axon remote tunnel costs
+    # ~50x execution for this program; shape reuse is the difference
+    # between a one-time and a per-problem-size cost.
+    n_pad = bucket_size(n)
+    sites_padded = np.zeros((n_pad, d), np.float64)
+    sites_padded[:n] = sites_build
     if n > chunk_threshold:
-        # Host-orchestrated rounds: a single multi-minute device execution
-        # would trip the TPU runtime watchdog at this scale.
+        # Host-orchestrated round batches: a single multi-minute device
+        # execution would trip the TPU runtime watchdog at this scale.
         # (chunk_threshold is a tuning knob, exposed so tests can force the
         # chunked path on small inputs and assert build equivalence.)
         tri_v, tri_n, alive, _ = build_2d_chunked(
-            jnp.asarray(sites_build, dtype), cage_std
+            jnp.asarray(sites_padded, dtype), cage_std, n_real=n
         )
     else:
         tri_v, tri_n, alive, _ = jax.jit(build_2d)(
-            jnp.asarray(sites_build, dtype), cage_std
+            jnp.asarray(sites_padded, dtype),
+            cage_std,
+            n_real=jnp.int32(n),
         )
     points_raw = np.concatenate([cage_raw, sites_shuffled])
     tri = device_tri.from_arrays(

@@ -57,15 +57,25 @@ class ScatteredInterp:
                 f"values shape {values.shape} != ({n},)"
             )
         if engine == "auto":
-            engine = "device" if d == 2 else "host"
+            engine = "device" if d == 2 else "cavity" if d == 3 else "host"
         self.engine = engine
         self.dim = d
         self.n_sites = n
-        if engine == "device":
-            self.tri, shuffle = device_delaunay.triangulate(
-                sites, lo=lo, hi=hi, flags=flags, key=key, dtype=dtype,
-                grid_res=grid_res,
-            )
+        if engine in ("device", "cavity"):
+            if engine == "device":
+                self.tri, shuffle = device_delaunay.triangulate(
+                    sites, lo=lo, hi=hi, flags=flags, key=key, dtype=dtype,
+                    grid_res=grid_res,
+                )
+            else:
+                # parallel Bowyer-Watson device engine (any d >= 2; the
+                # TPU-native path for d == 3)
+                from . import device_cavity
+
+                self.tri, shuffle = device_cavity.triangulate(
+                    sites, lo=lo, hi=hi, flags=flags, key=key, dtype=dtype,
+                    grid_res=grid_res,
+                )
             self.response = jnp.concatenate(
                 [jnp.zeros(d + 1), jnp.asarray(values)[shuffle]]
             ).astype(self.tri.points_raw.dtype)

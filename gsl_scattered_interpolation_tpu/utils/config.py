@@ -41,10 +41,15 @@ def enable_compile_cache(path: str | None = None) -> None:
     if _os.environ.get("GSI_TPU_NOCACHE") == "1":
         return
     if path is None:
-        path = _os.environ.get(
-            "GSI_TPU_CACHE_DIR",
-            _os.path.expanduser("~/.cache/gsi_tpu_xla"),
+        # Default to the in-repo cache so compiled TPU programs (including
+        # the expensive large-shape build programs) travel with a checkout.
+        repo_cache = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)
+            ))),
+            ".jax_cache",
         )
+        path = _os.environ.get("GSI_TPU_CACHE_DIR", repo_cache)
     try:
         import jax
 

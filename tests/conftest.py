@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep CPU-backend test compiles out of the repo's TPU compile cache
+# (.jax_cache ships TPU executables; mixing in CPU AOT entries triggers
+# machine-feature mismatch warnings on other hosts).
+os.environ.setdefault(
+    "GSI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/gsi_cpu_xla")
+)
 
 import jax  # noqa: E402
 

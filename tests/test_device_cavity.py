@@ -1,0 +1,163 @@
+"""Parallel Bowyer-Watson device build (any d) vs host cavity oracle.
+
+The host engine (models/host_tree.py, cavity method) is the sequential
+reference implementation — Delaunay-correct in every dimension.  On
+generic-position data the Delaunay triangulation is unique, so the device
+build's simplex set must match it exactly regardless of the parallel
+insertion schedule (VERDICT round-1 item 5 acceptance criterion).
+"""
+
+import numpy as np
+import pytest
+
+from gsl_scattered_interpolation_tpu.models import (
+    device_cavity as dc,
+    device_tri as dt,
+    host_tree as ht,
+)
+from gsl_scattered_interpolation_tpu.utils import integrity
+
+
+def _rand(n, d, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.5, 0.5, size=(n, d))
+
+
+def _canon(tri, shuffle, d):
+    """Canonical simplex set in user row ids (cage ids stay 0..d)."""
+    inv = {d + 1 + i: int(shuffle[i]) + d + 1 for i in range(len(shuffle))}
+    return {
+        tuple(sorted(inv.get(int(v), int(v)) for v in row))
+        for row in np.asarray(tri.tri_verts)
+    }
+
+
+class TestCavity2D:
+    @pytest.mark.parametrize("n", [1, 2, 7, 50, 400])
+    def test_integrity_and_euler(self, n):
+        sites = _rand(n, 2, seed=n)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        assert tri.n_tris == 2 * n + 1  # each 2D insertion nets 2 triangles
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+
+    def test_matches_host_oracle(self):
+        sites = _rand(300, 2, seed=42)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(dt.freeze(tree).tri_verts)
+        }
+        assert _canon(tri, shuffle, 2) == host
+
+    def test_matches_flip_engine(self):
+        # cavity and flip device engines agree in 2D
+        from gsl_scattered_interpolation_tpu.models import (
+            device_delaunay as dd,
+        )
+
+        sites = _rand(500, 2, seed=7)
+        t1, s1 = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        t2, s2 = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        assert _canon(t1, s1, 2) == _canon(t2, s2, 2)
+
+
+class TestCavity3D:
+    @pytest.mark.parametrize("n", [1, 2, 5, 40, 300])
+    def test_integrity(self, n):
+        sites = _rand(n, 3, seed=100 + n)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+
+    @pytest.mark.parametrize("n", [30, 200])
+    def test_matches_host_oracle(self, n):
+        sites = _rand(n, 3, seed=n)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(dt.freeze(tree).tri_verts)
+        }
+        assert _canon(tri, shuffle, 3) == host
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("n", [1500, 10_000])
+    def test_matches_host_oracle_at_scale(self, n):
+        # VERDICT round-1 item 5 acceptance: device build matches the host
+        # cavity oracle at 10k+ generic-position sites (host build is
+        # sequential Python — minutes at 10k; run with `pytest -m slow`).
+        sites = _rand(n, 3, seed=n)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(dt.freeze(tree).tri_verts)
+        }
+        assert _canon(tri, shuffle, 3) == host
+
+    def test_interp_reproduces_sites(self):
+        import jax.numpy as jnp
+        from gsl_scattered_interpolation_tpu.models import device_tri
+
+        n = 300
+        sites = _rand(n, 3, seed=3)
+        vals = np.sin(4 * sites[:, 0]) + sites[:, 1] * sites[:, 2]
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        resp = device_tri.response_for_build(shuffle, vals, d=3)
+        out = device_tri.interp(tri, resp, jnp.asarray(sites), method="walk")
+        np.testing.assert_allclose(np.asarray(out), vals, atol=1e-9)
+
+    def test_interior_queries_match_scipy(self):
+        from scipy.interpolate import LinearNDInterpolator
+        import jax.numpy as jnp
+        from gsl_scattered_interpolation_tpu.models import device_tri
+
+        n = 300
+        sites = _rand(n, 3, seed=11)
+        vals = sites[:, 0] ** 2 + 2 * sites[:, 1] - sites[:, 2]
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        resp = device_tri.response_for_build(shuffle, vals, d=3)
+        q = _rand(1000, 3, seed=12) * 0.7  # interior
+        ours = np.asarray(
+            device_tri.interp(tri, resp, jnp.asarray(q), method="walk")
+        )
+        ref = LinearNDInterpolator(sites, vals)(q)
+        # Delaunay is unique on generic input, but near-degenerate slivers
+        # may triangulate differently than Qhull; both are valid piecewise-
+        # linear interpolants of the same data, so agree closely.
+        m = np.isfinite(ref)
+        assert m.mean() > 0.95
+        np.testing.assert_allclose(ours[m], ref[m], atol=5e-3)
+        assert np.mean(np.abs(ours[m] - ref[m])) < 1e-4
+
+
+class TestDegenerate:
+    def test_3d_lattice(self):
+        # exactly-degenerate (cospherical cells) input: build must
+        # terminate and produce a structurally valid triangulation
+        g = np.linspace(-0.4, 0.4, 5)
+        X, Y, Z = np.meshgrid(g, g, g)
+        sites = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=len(sites),
+        )

@@ -58,12 +58,12 @@ class TestFacade:
             ) / (2 * eps)
             assert abs(g[0, ax] - num) < 1e-4 * max(1, abs(num))
 
-    def test_3d_auto_host(self):
+    def test_3d_auto_cavity(self):
         rng = np.random.default_rng(1)
         sites = rng.uniform(-0.5, 0.5, size=(40, 3))
         vals = sites @ np.array([1.0, -2.0, 0.5])
         si = ScatteredInterp(sites, vals, engine="auto")
-        assert si.engine == "host"
+        assert si.engine == "cavity"  # device Bowyer-Watson for d == 3
         q = rng.uniform(-0.3, 0.3, size=(50, 3))
         # Linear function is reproduced exactly inside the hull wherever the
         # containing simplex is all-data.
@@ -77,6 +77,15 @@ class TestFacade:
         ]
         all_data = np.asarray(leafs > 3).all(axis=1)
         np.testing.assert_allclose(got[all_data], expect[all_data], atol=1e-9)
+
+    def test_4d_auto_host(self):
+        rng = np.random.default_rng(2)
+        sites = rng.uniform(-0.5, 0.5, size=(25, 4))
+        vals = sites.sum(axis=1)
+        si = ScatteredInterp(sites, vals, engine="auto")
+        assert si.engine == "host"
+        got = np.asarray(si.eval(sites))
+        np.testing.assert_allclose(got, vals, atol=1e-9)
 
     def test_validation(self):
         with pytest.raises(errors.InvalidArgumentError):
