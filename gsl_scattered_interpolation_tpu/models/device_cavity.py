@@ -60,7 +60,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import geometry
+from ..ops import geometry, robust
 from ..utils import machine
 
 INT_MAX = np.iinfo(np.int32).max
@@ -74,8 +74,13 @@ class CavityState(NamedTuple):
     n_left: jax.Array    # scalar int32: uninserted site count
 
 
-def init_state(pts, N: int, M: int) -> CavityState:
+def init_state(pts, N: int, M: int, n_real=None) -> CavityState:
+    """Initial state; rows [n_real, N) are shape-bucket padding (marked
+    pre-inserted so they never claim — see device_delaunay._init_state)."""
     d = pts.shape[-1]
+    if n_real is None:
+        n_real = N
+    n_real = jnp.asarray(n_real, jnp.int32)
     tri_v = jnp.full((M, d + 1), -1, jnp.int32).at[0].set(
         jnp.arange(d + 1, dtype=jnp.int32)
     )
@@ -84,8 +89,10 @@ def init_state(pts, N: int, M: int) -> CavityState:
         tri_v=tri_v,
         tri_n=tri_n,
         n_tris=jnp.int32(1),
-        site_tri=jnp.zeros(N, jnp.int32),
-        n_left=jnp.int32(N),
+        site_tri=jnp.where(
+            jnp.arange(N) < n_real, jnp.int32(0), jnp.int32(-1)
+        ),
+        n_left=n_real,
     )
 
 
@@ -149,6 +156,41 @@ def _insphere_det(verts, q):
     return jnp.where(orient == 0, True, inside)
 
 
+def _insphere_robust2d(verts, q):
+    """Compensated 2D in-circumcircle (ops/robust.py double-single).
+
+    float32 2D builds at fine spacings need exact-ish predicate signs —
+    the same requirement that drove the flip engine's canonical
+    compensated flips (device_delaunay.py).  ~5x the flops of the plain
+    det on compact [S, C]-shaped arrays: negligible.
+    """
+    a, b, c = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    S = robust.incircle_ds(a, b, c, q)
+    O = robust.orient2d_ds(a, b, c)
+    inside = S * jnp.sign(O) > 0
+    return jnp.where(O == 0, True, inside)
+
+
+def _minw_robust2d(verts, q):
+    """Compensated min-barycentric-weight (best-worst relocation metric).
+
+    Mirrors device_delaunay._min_weight: weights are ratios of
+    compensated orientation determinants — f32 plain solves misassign
+    boundary sites at 1M-site spacings (the 0.17-outlier bug class).
+    """
+    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    D = robust.orient2d_ds(v0, v1, v2)
+    O0 = robust.orient2d_ds(q, v1, v2)
+    O1 = robust.orient2d_ds(v0, q, v2)
+    O2 = robust.orient2d_ds(v0, v1, q)
+    ok = D != 0
+    safe = jnp.where(ok, D, 1.0)
+    minw = jnp.minimum(jnp.minimum(O0, O1), O2) / safe
+    maxw = jnp.maximum(jnp.maximum(O0, O1), O2) / safe
+    minw = jnp.where(D > 0, minw, maxw)
+    return jnp.where(ok, minw, -jnp.inf)
+
+
 def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
     """Bounded BFS Bowyer-Watson cavity growth for S candidates.
 
@@ -185,7 +227,10 @@ def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
         nb_verts = geometry.take_rows(
             pts, geometry.take_rows(st.tri_v, nb_safe)
         )                                              # [S, d+1, d+1, d]
-        viol = _insphere_det(nb_verts, sites_q[:, None, :])
+        if d == 2:
+            viol = _insphere_robust2d(nb_verts, sites_q[:, None, :])
+        else:
+            viol = _insphere_det(nb_verts, sites_q[:, None, :])
         seen = jnp.any(nbrs[:, :, None] == cav[:, None, :], axis=-1)
         add = nb_ok & viol & ~seen                        # [S, d+1]
         # append at n_cav + prefix-rank within the row
@@ -407,40 +452,75 @@ def _round(pts, st: CavityState, S: int, C: int):
     st_safe = jnp.where(site_tri >= 0, site_tri, 0)
     w_i = win_of[st_safe]                               # [N]
     needs = (site_tri >= 0) & (w_i >= 0)
-    w_safe = jnp.where(needs, w_i, 0)
-    qs = geometry.take_rows(pts, site_ids + d + 1)      # [N, d]
 
-    # best-worst candidate scan over the F new simplexes of the owning
-    # winner (lax loop keeps the [N, F, d+1, d] vertex gather out of
-    # memory — only one [N, d+1, d] slab is live per step)
-    def reloc_step(j, carry):
-        best_w, best_t = carry
-        cj = jnp.take_along_axis(
-            new_id, jnp.full((S, 1), j, jnp.int32), axis=1
-        )[:, 0]
-        okj = jnp.take_along_axis(
-            fvalid, jnp.full((S, 1), j, jnp.int32), axis=1
-        )[:, 0]
-        tj = jnp.where(okj[w_safe], cj[w_safe], 0)      # [N]
-        verts = geometry.take_rows(pts, geometry.take_rows(tri_v, tj))
-        coords, okc = geometry.bary_coords(verts, qs)
-        # bary_coords returns weights of vertices 0..d-1; vertex d's
-        # weight is 1 - sum (ops/geometry.py:126-128) — the containment
-        # minimum must include it.
-        wj = jnp.minimum(
-            jnp.min(coords, axis=-1), 1.0 - jnp.sum(coords, axis=-1)
-        )
-        wj = jnp.where(okc & okj[w_safe], wj, -jnp.inf)
-        better = wj > best_w
-        return (
-            jnp.where(better, wj, best_w),
-            jnp.where(better, tj, best_t).astype(jnp.int32),
-        )
+    # Active-set compaction: only sites inside carved cavities relocate.
+    # Their ids are prefix-rank-compacted into ``csite`` and processed in
+    # R-sized chunks (while_loop — trip count follows the actual affected
+    # count), so per-round relocation work is O(affected * F), not
+    # O(N * F).  Early rounds affect nearly every site (one cavity holds
+    # them all), late rounds a handful — the loop adapts for free.
+    cnt = jnp.sum(needs.astype(jnp.int32))
+    rank = jnp.cumsum(needs.astype(jnp.int32)) - 1
+    R = int(min(16384, max(256, N)))
+    csite = (
+        jnp.zeros(N + R, jnp.int32)
+        .at[jnp.where(needs, rank, N + R - 1)]
+        .set(site_ids, mode="drop")
+    )
+    flat_ids = jnp.reshape(new_id, (-1,))
+    flat_ok = jnp.reshape(fvalid, (-1,))
 
-    best_w0 = jnp.full(N, -jnp.inf, dtype)
-    best_t0 = jnp.zeros(N, jnp.int32)
-    _bw, best_t = jax.lax.fori_loop(0, F, reloc_step, (best_w0, best_t0))
-    site_tri = jnp.where(needs, best_t, site_tri)
+    def chunk_body(c):
+        site_tri, ci = c
+        sb = jax.lax.dynamic_slice(csite, (ci * R,), (R,))
+        valid = (ci * R + jnp.arange(R, dtype=jnp.int32)) < cnt
+        sb = jnp.where(valid, sb, 0)
+        w_b = jnp.where(valid, w_i[sb], 0)              # owning winner idx
+        q_b = geometry.take_rows(pts, sb + d + 1)       # [R, d]
+
+        def reloc_step(j, carry):
+            best_w, best_t = carry
+            cj = flat_ids[w_b * F + j]
+            okj = flat_ok[w_b * F + j]
+            tj = jnp.where(okj, cj, 0)
+            verts = geometry.take_rows(
+                pts, geometry.take_rows(tri_v, tj)
+            )                                           # [R, d+1, d]
+            if d == 2:
+                # compensated ratios: f32 plain solves misassign
+                # boundary sites at 1M-site spacings
+                wj = _minw_robust2d(verts, q_b)
+            else:
+                coords, okc = geometry.bary_coords(verts, q_b)
+                # bary_coords returns weights of vertices 0..d-1;
+                # vertex d's weight is 1 - sum (ops/geometry.py:126-128)
+                wj = jnp.minimum(
+                    jnp.min(coords, axis=-1),
+                    1.0 - jnp.sum(coords, axis=-1),
+                )
+                wj = jnp.where(okc, wj, -jnp.inf)
+            wj = jnp.where(okj, wj, -jnp.inf)
+            better = wj > best_w
+            return (
+                jnp.where(better, wj, best_w),
+                jnp.where(better, tj, best_t).astype(jnp.int32),
+            )
+
+        best_w0 = jnp.full(R, -jnp.inf, dtype)
+        best_t0 = jnp.zeros(R, jnp.int32)
+        _bw, best_t = jax.lax.fori_loop(
+            0, F, reloc_step, (best_w0, best_t0)
+        )
+        site_tri = site_tri.at[jnp.where(valid, sb, N + 1)].set(
+            best_t, mode="drop"
+        )
+        return site_tri, ci + 1
+
+    site_tri, _ = jax.lax.while_loop(
+        lambda c: c[1] * R < cnt,
+        chunk_body,
+        (site_tri, jnp.int32(0)),
+    )
 
     # retire inserted sites
     ins = jnp.full(N + 1, False).at[
@@ -461,7 +541,7 @@ def _round_jit(pts, st, S, C):
 
 
 def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
-          slots_per_site: float | None = None):
+          slots_per_site: float | None = None, n_real: int | None = None):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -484,15 +564,17 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         slots_per_site = 2.2 if d == 2 else 9.0 if d == 3 else 12.0
     M = int(slots_per_site * N) + 16 * (d + 1)
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
-    st = init_state(pts, N, M)
+    st = init_state(pts, N, M, n_real)
     C = cavity_cap
-    alive_est = 1
     rounds = 0
     t0 = _time.perf_counter()
-    n_left = N
+    n_left = N if n_real is None else int(n_real)
     while n_left > 0:
-        S = 1 << max(0, (min(max(alive_est, 1), n_left, s_cap) - 1)
-                     ).bit_length()
+        # S fixed for the whole build: the compact [S, C] work is trivial
+        # next to the O(N)/O(M) parts, and a constant S means ONE
+        # compiled round program per (C, bucket) instead of a ladder of
+        # 14 — compile via the axon tunnel costs minutes each.
+        S = 1 << max(0, (min(N, s_cap) - 1)).bit_length()
         st, _n_w_dev = _round_jit(pts, st, S, C)
         # one device->host sync per round (the axon tunnel charges ~0.5s
         # per readback): derive the winner count from the n_left delta
@@ -518,9 +600,6 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
                 raise RuntimeError(
                     "cavity build: cavities exceed 4096 simplexes"
                 )
-        # winners each net ~(F - n_cav) new simplexes; alive set grows
-        # roughly (d+1)x the winner count per round early on
-        alive_est = min(alive_est + (d + 2) * max(n_w, 1), s_cap)
         config.log.info(
             "cavity round %d: S=%d winners=%d left=%d %.2fs",
             rounds, S, n_w, n_left, _time.perf_counter() - t0,
@@ -582,11 +661,19 @@ def triangulate(
     prng = np.random.default_rng(12345)
     sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
 
+    # shape bucketing (see device_delaunay.bucket_size): pad the site
+    # count so compiled round programs are reused across problem sizes
+    from .device_delaunay import bucket_size
+
+    n_pad = bucket_size(n)
+    sites_padded = np.zeros((n_pad, d), np.float64)
+    sites_padded[:n] = sites_build
     tri_v, tri_n, alive, _ = build(
-        jnp.asarray(sites_build, dtype),
+        jnp.asarray(sites_padded, dtype),
         cage_std,
         cavity_cap=cavity_cap,
         s_cap=s_cap,
+        n_real=n,
     )
     points_raw = np.concatenate([cage_raw, sites_shuffled])
     tri = device_tri.from_arrays(

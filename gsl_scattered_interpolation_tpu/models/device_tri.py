@@ -439,7 +439,13 @@ def locate(
         cond, body, (cur, prev, done, outside, jnp.int32(0))
     )
     w = _weights(tri, cur, q_raw)
-    return cur, w, ~outside
+    # A query that exhausted max_steps mid-walk (done=False) has NOT been
+    # located — report it out-of-domain rather than silently interpolating
+    # from whatever simplex the walk stopped in (one such query per ~1M at
+    # T=2e6 caused a 0.17 eval error).  Final containment is re-checked on
+    # the weights so a stale `done` can't leak a non-containing simplex.
+    contained = jnp.all(w >= -jnp.asarray(tol, w.dtype), axis=-1)
+    return cur, w, ~outside & (contained | done)
 
 
 def locate_dense(tri: DeviceTriangulation, q_raw, block: int = 65536):
