@@ -416,6 +416,20 @@ def locate(
         cur, prev, done, outside, steps = state
         w = _weights(tri, cur, q_raw)
         worst = jnp.argmin(w, axis=-1)  # most-violated face
+        # Cycle breaking beyond period 2: when several faces are violated,
+        # odd steps take the SECOND-most-violated face.  A deterministic
+        # worst-face walk can orbit a >2-cycle of f32 slivers (observed
+        # ~1/1M queries at T=2e6: the walk exhausts its budget and the
+        # query is dropped); alternating the face choice is the standard
+        # stochastic-walk fix, costing one extra argmin.
+        w2 = jnp.where(
+            jnp.arange(w.shape[-1]) == worst[..., None], jnp.inf, w
+        )
+        second = jnp.argmin(w2, axis=-1)
+        two_neg = jnp.sum((w < -tol).astype(jnp.int32), axis=-1) > 1
+        worst = jnp.where(
+            two_neg & ((steps & 1) == 1), second, worst
+        ).astype(worst.dtype)
         inside = jnp.all(w >= -tol, axis=-1)
         nbr = jnp.take_along_axis(
             tri.tri_nbrs[cur], worst[:, None], axis=-1
