@@ -136,17 +136,19 @@ def bench_build_and_queries(extra):
         cells = dt.build_cell_index(tri.cast(jnp.float32))
         tri32 = tri.cast(jnp.float32)
         chunk = 5_000_000
+        # big arrays must ride as jit ARGUMENTS — closing over them
+        # serializes them into the axon remote-compile request (HTTP 413)
         f = jax.jit(
-            lambda q: dt.interp(tri32, resp, q, method="cells", cells=cells)
+            lambda t, r, q, c: dt.interp(t, r, q, method="cells", cells=c)
         )
         Q = jnp.asarray(
             rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32
         )
-        jax.block_until_ready(f(Q))
+        jax.block_until_ready(f(tri32, resp, Q, cells))
         n_chunks = 20  # 100M total
         t0 = time.perf_counter()
         for _ in range(n_chunks):
-            out = f(Q)
+            out = f(tri32, resp, Q, cells)
         jax.block_until_ready(out)
         dt_s = time.perf_counter() - t0
         extra["queries_100m"] = {

@@ -174,7 +174,11 @@ def fit(
             [jnp.where(keep, vb, 0.0), jnp.zeros((xb.shape[0], 3), A.dtype)],
             axis=1,
         )
-        sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+        # TPU f32 matmuls (inside the batched LU) silently run bf16 —
+        # garbage coefficients for 90x90 TPS saddle systems (residuals
+        # ~1e4 observed at 100k sites).  Force full f32 accumulation.
+        with jax.default_matmul_precision("highest"):
+            sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
         lam = sol[:, :W] * keep
         poly = sol[:, W:]
         return lam, poly
