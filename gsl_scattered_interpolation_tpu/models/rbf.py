@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import morton
+from ..ops import accurate, morton
 from ..utils import config, errors
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -71,7 +71,8 @@ def _phi_cubic(r, eps):
 def _phi_tps(r, eps):
     # r^2 log r, smoothly 0 at r=0.
     safe = jnp.where(r > 0, r, 1.0)
-    return jnp.where(r > 0, r * r * jnp.log(safe), 0.0)
+    # accurate.log: jnp.log is only ~2.4e-3 accurate on the target TPU
+    return jnp.where(r > 0, r * r * accurate.log(safe), 0.0)
 
 
 def _phi_wendland_c2(r, eps):
@@ -654,7 +655,7 @@ def _phi_tps_d2(d2, eps):
     # r^2 log r = d2 * log(d2) / 2; the additive tiny kills the 0*(-inf)
     # NaN at coincident points with no branch, no sqrt (VPU-lean: the
     # streamed 100k matvec is transcendental-bound).
-    return 0.5 * d2 * jnp.log(d2 + jnp.asarray(1e-37, d2.dtype))
+    return 0.5 * d2 * accurate.log(d2 + jnp.asarray(1e-37, d2.dtype))
 
 
 # phi variants taking SQUARED distance (cheaper streamed matvecs).

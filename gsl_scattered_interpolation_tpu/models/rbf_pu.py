@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rbf
+from ..ops import accurate
 from ..utils import config, errors
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -73,17 +74,91 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _plu_solve_batched(K, rhs):
+    """Batched partially-pivoted Gaussian elimination, pure VPU f32.
+
+    jnp.linalg.solve's BATCHED lowering on TPU runs its blocked LU
+    updates as bf16 matmuls (the unbatched path does not), which inflates
+    ill-conditioned edge-patch coefficients ~1000x — and
+    ``default_matmul_precision`` does not reach the LU custom lowering
+    (verified: identical HLO).  This eliminates with rank-1 OUTER-PRODUCT
+    updates — elementwise VPU ops, exact f32 — at O(W) fori steps over
+    [B, W, W] slabs: ~W^3 flops/batch, bandwidth-bound and fast for the
+    W~100 patch systems.
+
+    Args:  K [B, W, W], rhs [B, W].  Returns x [B, W].
+    """
+    B, W, _ = K.shape
+    A = jnp.concatenate([K, rhs[..., None]], axis=-1)   # [B, W, W+1]
+
+    def elim(k, A):
+        col = jnp.abs(A[:, :, k])
+        masked = jnp.where(jnp.arange(W)[None, :] >= k, col, -1.0)
+        piv = jnp.argmax(masked, axis=-1)               # [B]
+        # swap rows k <-> piv
+        rk = jnp.take_along_axis(A, piv[:, None, None], axis=1)[:, 0]
+        rp = A[:, k, :]
+        A = A.at[:, k, :].set(rk)
+        onehot = jnp.arange(W)[None, :] == piv[:, None]
+        A = jnp.where(onehot[..., None], rp[:, None, :], A)
+        # eliminate below
+        pivval = A[:, k, k]
+        safe = jnp.where(pivval == 0, 1.0, pivval)
+        factors = jnp.where(
+            jnp.arange(W)[None, :] > k, A[:, :, k] / safe[:, None], 0.0
+        )                                               # [B, W]
+        A = A - factors[:, :, None] * A[:, k, None, :]
+        return A
+
+    A = jax.lax.fori_loop(0, W, elim, A)
+
+    def back(i, x):
+        k = W - 1 - i
+        num = A[:, k, W] - jnp.einsum(
+            "bj,bj->b", A[:, k, :W], x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        diag = A[:, k, k]
+        xk = num / jnp.where(diag == 0, 1.0, diag)
+        return x.at[:, k].set(xk)
+
+    x = jax.lax.fori_loop(0, W, back, jnp.zeros((B, W), K.dtype))
+    return x
+
+
 def _phi_tps(r):
     safe = jnp.where(r > 0, r, 1.0)
-    return jnp.where(r > 0, r * r * jnp.log(safe), 0.0)
+    # accurate.log: jnp.log is only ~2.4e-3 accurate on the target TPU
+    # (ops/accurate.py) — kernel matrices need full f32 entries
+    return jnp.where(r > 0, r * r * accurate.log(safe), 0.0)
 
 
-def _neighborhood9(xs_pad):
-    """[Gy, Gx, 9*cap, d] — each cell's 3x3 block, via rolls (no gathers)."""
+def _neighborhood9(xs_pad, fill=_POISON):
+    """[Gy, Gx, 9*cap, d] — each cell's 3x3 block, via rolls (no gathers).
+
+    ``jnp.roll`` WRAPS at the grid border: without masking, an edge
+    patch's "neighbor" block contains real sites from the opposite side
+    of the domain (distance ~1 in standardized coords), whose phi entries
+    (~1e4) wreck the patch system's conditioning — f32 solves of corner
+    patches then produce O(10)-size coefficients and 0.1-level eval
+    errors.  Wrapped slots are overwritten with ``fill`` (poison for
+    coordinates, 0 for values) so the pad-row detection drops them.
+    """
+    Gy, Gx = xs_pad.shape[:2]
+    iy = jnp.arange(Gy)[:, None]
+    ix = jnp.arange(Gx)[None, :]
     parts = []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
-            parts.append(jnp.roll(xs_pad, (-di, -dj), axis=(0, 1)))
+            rolled = jnp.roll(xs_pad, (-di, -dj), axis=(0, 1))
+            ok = (
+                (iy + di >= 0) & (iy + di < Gy)
+                & (ix + dj >= 0) & (ix + dj < Gx)
+            )
+            shape = ok.shape + (1,) * (xs_pad.ndim - 2)
+            parts.append(
+                jnp.where(ok.reshape(shape), rolled, fill)
+            )
     return jnp.concatenate(parts, axis=2)
 
 
@@ -127,7 +202,7 @@ def fit(
     xs_pad = grid.xs_pad.astype(dtype)
     v_pad = rbf_compact.pack_values(grid, jnp.asarray(values, dtype))
     xs9 = _neighborhood9(xs_pad)              # [Gy, Gx, W, 2]
-    v9 = _neighborhood9(v_pad[..., None])[..., 0]
+    v9 = _neighborhood9(v_pad[..., None], fill=0.0)[..., 0]
     W = xs9.shape[2]
     rad = 1.5 * H
 
@@ -174,11 +249,7 @@ def fit(
             [jnp.where(keep, vb, 0.0), jnp.zeros((xb.shape[0], 3), A.dtype)],
             axis=1,
         )
-        # TPU f32 matmuls (inside the batched LU) silently run bf16 —
-        # garbage coefficients for 90x90 TPS saddle systems (residuals
-        # ~1e4 observed at 100k sites).  Force full f32 accumulation.
-        with jax.default_matmul_precision("highest"):
-            sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+        sol = _plu_solve_batched(K, rhs)
         lam = sol[:, :W] * keep
         poly = sol[:, W:]
         return lam, poly
