@@ -86,11 +86,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_cell_grid(xs_std: np.ndarray, rho: float) -> CellGrid:
+def build_cell_grid(
+    xs_std: np.ndarray, rho: float, as_numpy: bool = False
+) -> CellGrid:
     """Bucket standardized sites into a cell grid with cell size >= rho.
 
     Host-side, runs once per fit.  Capacity = max cell occupancy (no
-    silent truncation is possible by construction).
+    silent truncation is possible by construction).  ``as_numpy`` keeps
+    the arrays on the host — device->host readback through the axon
+    tunnel runs at ~0.2 MB/s, so host-side consumers (the PU-TPS hybrid
+    patch solver) must never round-trip them through the TPU.
     """
     xs_std = np.asarray(xs_std, np.float64)
     n, d = xs_std.shape
@@ -115,12 +120,13 @@ def build_cell_grid(xs_std: np.ndarray, rho: float) -> CellGrid:
     slot_site[flat[order], within] = order.astype(np.int32)
     xs_pad = np.full((G[0] * G[1], cap, d), _POISON, np.float64)
     xs_pad[flat[order], within] = xs_std[order]
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     return CellGrid(
-        xs_pad=jnp.asarray(xs_pad.reshape(G[0], G[1], cap, d)),
-        slot_site=jnp.asarray(slot_site.reshape(G[0], G[1], cap)),
+        xs_pad=conv(xs_pad.reshape(G[0], G[1], cap, d)),
+        slot_site=conv(slot_site.reshape(G[0], G[1], cap)),
         n_sites=n,
         cell_size=float(cell.max()),
-        origin=jnp.asarray(lo),
+        origin=conv(lo),
     )
 
 

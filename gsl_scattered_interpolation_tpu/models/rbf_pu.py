@@ -30,6 +30,7 @@ path where f64 is available.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -128,8 +129,9 @@ def _plu_solve_batched(K, rhs):
 
 def _phi_tps(r):
     safe = jnp.where(r > 0, r, 1.0)
-    # accurate.log: jnp.log is only ~2.4e-3 accurate on the target TPU
-    # (ops/accurate.py) — kernel matrices need full f32 entries
+    # accurate.log everywhere: on TPU because jnp.log is only ~2.4e-3
+    # accurate there (ops/accurate.py), on CPU because the pure-arithmetic
+    # polynomial vectorizes where libm log calls do not.
     return jnp.where(r > 0, r * r * accurate.log(safe), 0.0)
 
 
@@ -165,9 +167,9 @@ def _neighborhood9(xs_pad, fill=_POISON):
 def fit(
     sites,
     values,
-    target_per_cell: float = 10.0,
+    target_per_cell: float = 6.0,
     smooth: float = 0.0,
-    chunk: int = 256,
+    chunk: int = 2048,
     dtype=None,
 ):
     """Fit a partition-of-unity TPS to (sites [N,2], values [N])."""
@@ -190,8 +192,22 @@ def fit(
     # Bucket into cells of side H ~ sqrt(target/N).
     from . import rbf_compact
 
+    # Hybrid split: on TPU the batched patch solve runs on the coexisting
+    # HOST CPU backend — the TPU's batched LU is bf16-corrupted (see
+    # _plu_solve_batched), a W-column scalar solver loop pays this
+    # runtime's per-kernel launch cost ~2W times per chunk (tens of
+    # seconds), and crucially the host must never read the problem BACK
+    # from the device (the axon tunnel downloads at ~0.2 MB/s; uploads
+    # run ~100 MB/s).  So the cell grid stays in host memory, the whole
+    # patch pipeline runs as one cpu-backend jit (LAPACK-exact f32), and
+    # only the results are uploaded.  GSI_TPU_PU_HOST=0 forces the
+    # pure-TPU path (_plu_solve_batched).
+    on_tpu = jax.devices()[0].platform == "tpu"
+    host_path = on_tpu and os.environ.get("GSI_TPU_PU_HOST", "1") != "0"
+    use_lapack = host_path
+
     H = float(np.sqrt(target_per_cell / max(n, 1)))
-    grid = rbf_compact.build_cell_grid(xs, rho=H)
+    grid = rbf_compact.build_cell_grid(xs, rho=H, as_numpy=host_path)
     H = grid.cell_size
     Gy, Gx = grid.shape
     cap = grid.cap
@@ -199,21 +215,9 @@ def fit(
         "PU-TPS: grid %dx%d, cap %d (avg %.1f/cell)", Gy, Gx, cap,
         n / (Gy * Gx),
     )
-    xs_pad = grid.xs_pad.astype(dtype)
-    v_pad = rbf_compact.pack_values(grid, jnp.asarray(values, dtype))
-    xs9 = _neighborhood9(xs_pad)              # [Gy, Gx, W, 2]
-    v9 = _neighborhood9(v_pad[..., None], fill=0.0)[..., 0]
-    W = xs9.shape[2]
+    W = 9 * cap
     rad = 1.5 * H
-
-    # Patch centers (cell centers) in standardized coords.
-    cy = grid.origin[0] + (jnp.arange(Gy, dtype=dtype) + 0.5) * H
-    cx = grid.origin[1] + (jnp.arange(Gx, dtype=dtype) + 0.5) * H
-    centers = jnp.stack(jnp.meshgrid(cy, cx, indexing="ij"), -1)  # [Gy,Gx,2]
-
-    xs9f = xs9.reshape(-1, W, 2)
-    v9f = v9.reshape(-1, W)
-    cf = centers.reshape(-1, 2)
+    origin = np.asarray(grid.origin, np.float64)
 
     def solve_chunk(args):
         xb, vb, cc = args  # [c, W, 2], [c, W], [c, 2]
@@ -249,33 +253,68 @@ def fit(
             [jnp.where(keep, vb, 0.0), jnp.zeros((xb.shape[0], 3), A.dtype)],
             axis=1,
         )
-        sol = _plu_solve_batched(K, rhs)
+        if use_lapack:
+            # CPU backend: the batched LAPACK LU is exact-f32 there
+            sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+        else:
+            sol = _plu_solve_batched(K, rhs)
         lam = sol[:, :W] * keep
         poly = sol[:, W:]
         return lam, poly
 
-    C = xs9f.shape[0]
-    padc = (-C) % chunk
-    xs9p = jnp.concatenate(
-        [xs9f, jnp.full((padc, W, 2), _POISON, dtype)]
-    )
-    v9p = jnp.concatenate([v9f, jnp.zeros((padc, W), dtype)])
-    cfp = jnp.concatenate([cf, jnp.zeros((padc, 2), dtype)])
-    lam, poly = jax.lax.map(
-        solve_chunk,
-        (
-            xs9p.reshape(-1, chunk, W, 2),
-            v9p.reshape(-1, chunk, W),
-            cfp.reshape(-1, chunk, 2),
-        ),
-    )
-    lam = lam.reshape(-1, W)[:C].reshape(Gy, Gx, W)
-    poly = poly.reshape(-1, 3)[:C].reshape(Gy, Gx, 3)
+    def pipeline(xs_pad, v_pad):
+        """Neighborhoods + chunked patch solves (runs on either backend)."""
+        xs9 = _neighborhood9(xs_pad)              # [Gy, Gx, W, 2]
+        v9 = _neighborhood9(v_pad[..., None], fill=0.0)[..., 0]
+        cy = origin[0] + (jnp.arange(Gy, dtype=dtype) + 0.5) * H
+        cx = origin[1] + (jnp.arange(Gx, dtype=dtype) + 0.5) * H
+        centers = jnp.stack(jnp.meshgrid(cy, cx, indexing="ij"), -1)
+        xs9f = xs9.reshape(-1, W, 2)
+        v9f = v9.reshape(-1, W)
+        cf = centers.reshape(-1, 2)
+        C = xs9f.shape[0]
+        padc = (-C) % chunk
+        chunked = (
+            jnp.concatenate(
+                [xs9f, jnp.full((padc, W, 2), _POISON, dtype)]
+            ).reshape(-1, chunk, W, 2),
+            jnp.concatenate(
+                [v9f, jnp.zeros((padc, W), dtype)]
+            ).reshape(-1, chunk, W),
+            jnp.concatenate(
+                [cf, jnp.zeros((padc, 2), dtype)]
+            ).reshape(-1, chunk, 2),
+        )
+        lam, poly = jax.lax.map(solve_chunk, chunked)
+        lam = lam.reshape(-1, W)[:C].reshape(Gy, Gx, W)
+        poly = poly.reshape(-1, 3)[:C].reshape(Gy, Gx, 3)
+        return xs9, lam, poly
+
+    if host_path:
+        # grid arrays are host numpy; everything runs on the CPU backend
+        # and only the fitted model is uploaded (~100 MB/s).
+        np_dtype = np.dtype(dtype)
+        slot = np.asarray(grid.slot_site)
+        v_pad_np = np.where(
+            slot >= 0, np.asarray(values)[np.clip(slot, 0, n - 1)], 0.0
+        ).astype(np_dtype)
+        xs9, lam, poly = jax.jit(pipeline, backend="cpu")(
+            np.asarray(grid.xs_pad).astype(np_dtype), v_pad_np
+        )
+        xs9 = jnp.asarray(np.asarray(xs9))
+        lam = jnp.asarray(np.asarray(lam))
+        poly = jnp.asarray(np.asarray(poly))
+        origin_dev = jnp.asarray(origin, dtype)
+    else:
+        xs_pad = grid.xs_pad.astype(dtype)
+        v_pad = rbf_compact.pack_values(grid, jnp.asarray(values, dtype))
+        xs9, lam, poly = pipeline(xs_pad, v_pad)
+        origin_dev = jnp.asarray(grid.origin, dtype)
     return PuTps(
         xs9=xs9,
         lam=lam,
         poly=poly,
-        origin=grid.origin.astype(dtype),
+        origin=origin_dev,
         cell=float(H),
         rad=float(rad),
         shift=jnp.asarray(shift, dtype),

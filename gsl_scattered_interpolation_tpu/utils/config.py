@@ -56,7 +56,7 @@ def enable_compile_cache(path: str | None = None) -> None:
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 2.0
+            "jax_persistent_cache_min_compile_time_secs", 0.5
         )
     except Exception as e:  # cache is an optimization, never a failure
         log.info("compile cache unavailable: %s", e)
