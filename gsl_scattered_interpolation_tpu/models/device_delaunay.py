@@ -456,7 +456,7 @@ def build_2d(
 def build_2d_chunked(
     sites_std,
     cage_std,
-    flips_per_round: int = 2,
+    flips_per_round: int = 1,
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
