@@ -356,25 +356,47 @@ def _round(pts, st: CavityState, S: int, C: int):
     # re-starring would corrupt the link structure (the host engine
     # asserts this invariant, host_tree.py:400).  Such candidates are
     # deferred — the site retries after the neighborhood changes.
+    # Ridge matching by LEXSORT, not all-pairs: two boundary faces share a
+    # ridge iff their sorted (d-1)-vertex tuples are equal, so sorting the
+    # [S, F*d] ridge list and looking at equal-neighbor runs gives every
+    # ridge's multiplicity AND its unique partner in O(F log F) — the
+    # all-pairs [S, F, d, F] comparison this replaces materialized a 26 GB
+    # intermediate on TPU at C=512 (HBM is 16 GB; the CPU backend happened
+    # to fuse it away).
     ridge_take0 = (
         jnp.arange(d)[:, None] + 1 + jnp.arange(d - 1)[None, :]
     ) % d                                               # [d, d-1]
     ridges0 = jnp.take(
         fverts_c, ridge_take0.reshape(-1), axis=2
     ).reshape(S, F, d, d - 1)
-    in_face0 = jnp.any(
-        ridges0[:, :, :, :, None, None]
-        == fverts_c[:, None, None, None, :, :],
-        axis=-1,
-    )
-    match0 = jnp.all(in_face0, axis=3)                  # [S, F, d, F]
-    jj0 = jnp.arange(F)
-    match0 = match0 & (jj0[None, :, None, None] != jj0[None, None, None, :])
-    match0 = match0 & fcand[:, None, None, :] & fcand[:, :, None, None]
-    ridge_deg = jnp.sum(match0.astype(jnp.int32), axis=-1)  # [S, F, d]
-    manifold = jnp.all(
-        jnp.where(fcand[:, :, None], ridge_deg == 1, True), axis=(1, 2)
-    )
+    rv = jnp.sort(ridges0, axis=-1)                     # canonical tuples
+    Fd = F * d
+    flat_rv = rv.reshape(S, Fd, d - 1)
+    ridge_valid = jnp.broadcast_to(
+        fcand[:, :, None], (S, F, d)
+    ).reshape(S, Fd)
+    key_cols = [
+        jnp.where(ridge_valid, flat_rv[..., j], INT_MAX)
+        for j in range(d - 1)
+    ]
+    # lexsort: last key is primary -> reverse so column 0 dominates
+    order = jnp.lexsort(tuple(key_cols[::-1]), axis=-1)  # [S, Fd]
+    sv = jnp.take_along_axis(flat_rv, order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(ridge_valid, order, axis=1)
+    eq = jnp.all(sv[:, 1:] == sv[:, :-1], axis=-1) & valid_s[:, 1:] & (
+        valid_s[:, :-1]
+    )                                                   # [S, Fd-1]
+    zero1 = jnp.zeros((S, 1), bool)
+    eqn = jnp.concatenate([eq, zero1], axis=1)          # eq(i, i+1)
+    eqp = jnp.concatenate([zero1, eq], axis=1)          # eq(i-1, i)
+    eqn_next = jnp.concatenate([eqn[:, 1:], zero1], axis=1)
+    eqp_prev = jnp.concatenate([zero1, eqp[:, :-1]], axis=1)
+    pair_first = eqn & ~eqp & ~eqn_next   # run of exactly 2, first slot
+    pair_second = eqp & ~eqn & ~eqp_prev  # run of exactly 2, second slot
+    deg_ok = pair_first | pair_second
+    # manifold <=> every valid ridge appears exactly twice (the original
+    # ridge_deg == 1 check: one OTHER face shares it)
+    manifold = jnp.all(jnp.where(valid_s, deg_ok, True), axis=1)
     win = win & ~face_ov & manifold
     # capacity: keep the prefix of winners whose fresh allocations fit in M
     # (dropping a suffix leaves earlier winners' slot bases unchanged)
@@ -415,14 +437,23 @@ def _round(pts, st: CavityState, S: int, C: int):
 
     # -- neighbor wiring --------------------------------------------------
     # slots 1..d: sibling new simplex sharing ridge = face minus vertex
-    # m-1; reuse the manifoldness pass's ridge matching (winners passed
-    # ridge_deg == 1, so argmax picks the unique sibling).
-    sib = jnp.argmax(match0, axis=-1)                   # [S, F, d]
+    # m-1; reuse the lexsorted ridge runs (winners passed the manifold
+    # check, so every valid ridge sits in an isolated equal pair and its
+    # sorted neighbor IS the unique sibling).
+    partner_pos = jnp.where(
+        pair_first,
+        jnp.roll(order, -1, axis=1),
+        jnp.where(pair_second, jnp.roll(order, 1, axis=1), 0),
+    )                                                   # flat f*d + m
+    has_partner = pair_first | pair_second
+    row_ix = jnp.arange(S, dtype=jnp.int32)[:, None]
+    sib_flat = jnp.zeros((S, Fd), jnp.int32).at[
+        row_ix, jnp.where(has_partner, order, Fd)
+    ].set(partner_pos // d, mode="drop")                # partner FACE idx
+    sib = sib_flat.reshape(S, F, d)
     nn_rest = jnp.take_along_axis(
-        jnp.broadcast_to(new_id[:, None, None, :], (S, F, d, F)),
-        sib[..., None],
-        axis=-1,
-    )[..., 0]                                           # [S, F, d]
+        new_id, sib.reshape(S, Fd), axis=1
+    ).reshape(S, F, d)                                  # [S, F, d]
     nn = jnp.concatenate([fext_c[..., None], nn_rest], axis=-1)
     tri_n = tri_n.at[rows_new.reshape(-1)].set(
         nn.reshape(-1, dp1), mode="drop"

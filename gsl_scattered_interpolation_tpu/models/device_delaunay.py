@@ -141,12 +141,16 @@ def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
     return cc.at[tgt].set(packed, mode="drop")
 
 
-def _init_state(pts, N: int, n_real: int | None = None) -> BuildState:
+def _init_state(
+    pts, N: int, n_real: int | None = None, cap: int | None = None
+) -> BuildState:
     """Initial build state.  ``n_real < N`` marks rows [n_real, N) as
     padding (pre-inserted, never claimed) — shape bucketing pads N up to a
     bucket size so one compiled program (and one persistent-cache entry)
-    serves a whole range of problem sizes."""
-    M = 2 * N + 3
+    serves a whole range of problem sizes.  ``cap`` sets the triangle-array
+    capacity (default 2N+3, the exact upper bound); the staged build starts
+    small and grows."""
+    M = 2 * N + 3 if cap is None else cap
     if n_real is None:
         n_real = N
     n_real = jnp.asarray(n_real, jnp.int32)  # traced: keeps the program
@@ -183,8 +187,13 @@ def _split_round(pts, st: BuildState) -> BuildState:
     tgt = jnp.where(site_tri >= 0, site_tri, M)  # dead sites -> dummy
     claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
     has = claim != INT_MAX  # [M] triangles splitting this round
-    # 2. Allocate child slots by prefix rank.
+    # 2. Allocate child slots by prefix rank — capped by array capacity:
+    # claims whose two fresh slots would overflow [M] are simply deferred
+    # (the capped set is a prefix of the ranks, so surviving slot ids stay
+    # contiguous).  The staged orchestrator (build_2d_chunked) grows
+    # capacity between dispatches; with M = 2N+3 the cap never binds.
     rank = jnp.cumsum(has.astype(jnp.int32)) - 1  # [M]
+    has = has & (n_tris + 2 * (rank + 1) <= M)
     cA = jnp.where(has, n_tris + 2 * rank, -1).astype(jnp.int32)
     cB = jnp.where(has, n_tris + 2 * rank + 1, -1).astype(jnp.int32)
     n_new = jnp.sum(has.astype(jnp.int32))
@@ -239,46 +248,52 @@ def _split_round(pts, st: BuildState) -> BuildState:
     return BuildState(tri_v, tri_n, cc, n_tris, site_tri, n_left)
 
 
-def _flip_round(pts, carry):
-    M = carry[0].shape[0]
-    N = carry[4].shape[0]
-    site_ids = jnp.arange(N, dtype=jnp.int32)
-    tri_v, tri_n, cc, n_tris, site_tri, _changed = carry
-    alive = tri_v[:, 0] >= 0
-    center, r2, cok = cc[:, :2], cc[:, 2], cc[:, 3] > 0.5
+def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
+    """Canonical flip-candidate mask for the 3 edges of the listed rows.
 
-    t_all = jnp.arange(M, dtype=jnp.int32)
-    # Flip decisions are CANONICAL per 4-point quad: the incircle
-    # determinant is evaluated with the quad's vertices in sorted-id
-    # order, so both orientations of the pair compute the *same* number
-    # and reach the *same* verdict.  A configuration-dependent test
-    # (reference tie-break at linear_simplex.c:535-536) lets fp noise
-    # declare BOTH diagonals violated on near-cocircular quads — the
-    # parallel loop then flips back and forth until its cap, a
-    # minutes-long TPU execution that trips the worker watchdog.
-    # Consistent verdicts make oscillation structurally impossible;
-    # exact ties (S == 0) keep the current diagonal, matching the
-    # reference's shrunken-sphere no-flip semantics.
-    #
-    # All 3 edges are evaluated in ONE [M, 3]-batched pass (not a python
-    # loop): the compensated predicates are large expressions, and
-    # instantiating them 3x tripled the XLA program — TPU compile time
-    # through the axon tunnel is ~50x execution for this build, so
-    # program size is a first-class cost here.
-    u3 = tri_n  # [M, 3]
+    ``rows`` holds global triangle ids ([M] arange for the dense path, a
+    compacted dirty subset for the sweep path); ``rvalid`` masks pads.
+    Returns ``(tv, tn, cand_ok)`` — the gathered vertex/neighbor rows plus
+    the per-edge candidacy.
+
+    Flip decisions are CANONICAL per 4-point quad: the incircle
+    determinant is evaluated with the quad's vertices in sorted-id
+    order, so both orientations of the pair compute the *same* number
+    and reach the *same* verdict.  A configuration-dependent test
+    (reference tie-break at linear_simplex.c:535-536) lets fp noise
+    declare BOTH diagonals violated on near-cocircular quads — the
+    parallel loop then flips back and forth until its cap, a
+    minutes-long TPU execution that trips the worker watchdog.
+    Consistent verdicts make oscillation structurally impossible;
+    exact ties (S == 0) keep the current diagonal, matching the
+    reference's shrunken-sphere no-flip semantics.
+
+    All 3 edges are evaluated in ONE [R, 3]-batched pass (not a python
+    loop): the compensated predicates are large expressions, and
+    instantiating them 3x tripled the XLA program — TPU compile time
+    through the axon tunnel is ~50x execution for this build, so
+    program size is a first-class cost here.
+    """
+    rs = jnp.where(rvalid, rows, 0)
+    tv = geometry.take_rows(tri_v, rs)  # [R, 3]
+    tn = geometry.take_rows(tri_n, rs)
+    alive = rvalid & (tv[:, 0] >= 0)
+    cok = geometry.take_rows(cc, rs)[:, 3] > 0.5
+
+    u3 = tn  # [R, 3]
     valid3 = alive[:, None] & (u3 >= 0)
     uu3 = jnp.where(valid3, u3, 0)
     # multi-dim index gathers routed flat (geometry.take_rows): the
     # dimension-numbers form compiles minutes-slow at 1e6 shapes.
-    back = geometry.take_rows(tri_n, uu3) == t_all[:, None, None]
-    slot = jnp.argmax(back, axis=-1)  # [M, 3]
+    back = geometry.take_rows(tri_n, uu3) == rs[:, None, None]
+    slot = jnp.argmax(back, axis=-1)  # [R, 3]
     far3 = jnp.take_along_axis(
         geometry.take_rows(tri_v, uu3), slot[..., None], -1
     )[..., 0]
-    fq3 = geometry.take_rows(pts, far3)           # [M, 3, 2]
-    apex3 = geometry.take_rows(pts, tri_v)        # [M, 3, 2]
-    p1_id = jnp.roll(tri_v, -1, axis=1)
-    p2_id = jnp.roll(tri_v, -2, axis=1)
+    fq3 = geometry.take_rows(pts, far3)           # [R, 3, 2]
+    apex3 = geometry.take_rows(pts, tv)           # [R, 3, 2]
+    p1_id = jnp.roll(tv, -1, axis=1)
+    p2_id = jnp.roll(tv, -2, axis=1)
     p1q = geometry.take_rows(pts, p1_id)
     p2q = geometry.take_rows(pts, p2_id)
     # convexity: segment (apex, far) must cross the shared edge.
@@ -289,10 +304,10 @@ def _flip_round(pts, carry):
     convex3 = jnp.sign(o1) * jnp.sign(o2) < 0
     # Canonical quad decision.  Cyclic order (apex, p1, far, p2):
     # current diagonal = positions (1,3); flip target = (0,2).
-    quad = jnp.stack([tri_v, p1_id, far3, p2_id], -1)  # [M, 3, 4] ids
+    quad = jnp.stack([tv, p1_id, far3, p2_id], -1)  # [R, 3, 4] ids
     order = jnp.argsort(quad, axis=-1)
     sid = jnp.take_along_axis(quad, order, -1)
-    sp = geometry.take_rows(pts, sid)  # [M, 3, 4, 2]
+    sp = geometry.take_rows(pts, sid)  # [R, 3, 4, 2]
     O = robust.orient2d_ds(sp[:, :, 0], sp[:, :, 1], sp[:, :, 2])
     S = robust.incircle_ds(
         sp[:, :, 0], sp[:, :, 1], sp[:, :, 2], sp[:, :, 3]
@@ -307,42 +322,60 @@ def _flip_round(pts, carry):
     degen_t = ~cok[:, None]
     degen_u = ~(geometry.take_rows(cc, uu3)[..., 3] > 0.5)
     cand_ok = valid3 & convex3 & (want | degen_t | degen_u)
+    return tv, tn, cand_ok
 
-    # Mutual-minimum matching over candidate edges.
-    partner_cand = jnp.where(cand_ok, tri_n, INT_MAX)
-    pick = jnp.min(partner_cand, axis=-1)  # [M] best partner or INT_MAX
+
+def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
+    """Mutual-minimum matching + in-place execution of the matched flips.
+
+    Returns the rewritten arrays plus ``(flip_partner [M], do [R],
+    u_ids [R], (Np, Nq, Up, Uq) [R] neighbor ids, any_flip)``.
+    """
+    M = tri_v.shape[0]
+    rs = jnp.where(rvalid, rows, 0)
+    partner_cand = jnp.where(cand_ok, tn, INT_MAX)
+    pick = jnp.min(partner_cand, axis=-1)  # [R] best partner or INT_MAX
     pick_ok = pick != INT_MAX
     pick_safe = jnp.where(pick_ok, pick, 0)
-    mutual = pick_ok & (pick[pick_safe] == t_all) & (pick_safe != t_all)
+    # Mutuality needs the partner's own pick.  Both sides of a violating
+    # edge are always in the processed set on the dense path; on the
+    # sweep path the partner may sit beyond the batch — its slot reads
+    # INT_MAX and the flip defers to a later round.
+    pick_g = jnp.full(M, INT_MAX, jnp.int32).at[
+        jnp.where(rvalid, rows, M + 1)
+    ].set(pick, mode="drop")
+    mutual = pick_ok & (pick_g[pick_safe] == rs) & (pick_safe != rs)
     # Execute each matched edge once, from the lower id.  Terminate on
     # "no executed flips" (not "no candidates"): an fp-asymmetric
     # candidate with no mutual partner must not spin the loop — the
     # reference likewise leaves un-flippable violations in place
     # (edge_flip.c:244-254).
-    do = mutual & (t_all < pick_safe)
+    do = mutual & (rs < pick_safe)
     any_flip = jnp.any(do)
     u_ids = jnp.where(do, pick_safe, 0)
-    flip_partner = jnp.where(mutual, pick_safe, -1)  # for repair
+    # flip_partner over the global id space, for repair + relocation
+    flip_partner = jnp.full(M, -1, jnp.int32).at[
+        jnp.where(mutual & rvalid, rs, M + 1)
+    ].set(pick_safe, mode="drop")
 
     # Slots: k in t facing u; j in u facing t.
-    k_slot = jnp.argmax(tri_n == u_ids[:, None], axis=-1)
-    j_slot = jnp.argmax(tri_n[u_ids] == t_all[:, None], axis=-1)
-    c = jnp.take_along_axis(tri_v, k_slot[:, None], -1)[:, 0]
+    k_slot = jnp.argmax(tn == u_ids[:, None], axis=-1)
+    j_slot = jnp.argmax(tri_n[u_ids] == rs[:, None], axis=-1)
+    c = jnp.take_along_axis(tv, k_slot[:, None], -1)[:, 0]
     e = jnp.take_along_axis(tri_v[u_ids], j_slot[:, None], -1)[:, 0]
     # t's other verts/nbrs: p at k+1, q at k+2 (slot order).
-    pv = jnp.take_along_axis(tri_v, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    qv = jnp.take_along_axis(tri_v, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
-    Np = jnp.take_along_axis(tri_n, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    Nq = jnp.take_along_axis(tri_n, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+    pv = jnp.take_along_axis(tv, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+    qv = jnp.take_along_axis(tv, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+    Np = jnp.take_along_axis(tn, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+    Nq = jnp.take_along_axis(tn, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
     # u's neighbors across faces {e,q} and {e,p}: match by vertex value.
-    uv = tri_v[u_ids]  # [M, 3]
-    # slot of p in u / q in u:
+    uv = tri_v[u_ids]  # [R, 3]
     p_in_u = jnp.argmax(uv == pv[:, None], axis=-1)
     q_in_u = jnp.argmax(uv == qv[:, None], axis=-1)
     Up = jnp.take_along_axis(tri_n[u_ids], p_in_u[:, None], -1)[:, 0]
     Uq = jnp.take_along_axis(tri_n[u_ids], q_in_u[:, None], -1)[:, 0]
 
-    rows_t = jnp.where(do, t_all, M + 1)
+    rows_t = jnp.where(do, rs, M + 1)
     rows_u = jnp.where(do, u_ids, M + 1)
     new_tv = tri_v.at[rows_t].set(
         jnp.stack([e, c, qv], -1), mode="drop"
@@ -352,29 +385,46 @@ def _flip_round(pts, carry):
     # T2=(e,c,p): slot0 -> Nq (t's face opp q); slot1 -> Uq; slot2 -> t.
     new_tn = tri_n.at[rows_t].set(
         jnp.stack([Np, Up, u_ids], -1), mode="drop"
-    ).at[rows_u].set(jnp.stack([Nq, Uq, t_all], -1), mode="drop")
+    ).at[rows_u].set(jnp.stack([Nq, Uq, rs], -1), mode="drop")
+
+    # Refresh circumcircle cache for rewritten pairs.
+    rows2 = jnp.concatenate([rs, u_ids])
+    cc = _cc_update(cc, pts, new_tv, rows2, jnp.concatenate([do, do]), M)
+    return new_tv, new_tn, cc, flip_partner, do, u_ids, (Np, Nq, Up, Uq), any_flip
+
+
+def _flip_round(pts, carry, relocate=True):
+    M = carry[0].shape[0]
+    N = carry[4].shape[0]
+    tri_v, tri_n, cc, n_tris, site_tri, _changed = carry
+    rows = jnp.arange(M, dtype=jnp.int32)
+    rvalid = jnp.ones((M,), bool)
+    tv, tn, cand_ok = _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid)
+    new_tv, new_tn, cc, flip_partner, do, u_ids, _nbrs, any_flip = (
+        _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok)
+    )
 
     # Gather-repair stale pointers into flipped triangles.
     new_tn = _repair_after_flip(new_tv, new_tn, flip_partner)
 
-    # Refresh circumcircle cache for rewritten pairs.
-    rows2 = jnp.concatenate([t_all, u_ids])
-    cc = _cc_update(cc, pts, new_tv, rows2, jnp.concatenate([do, do]), M)
-
-    # Re-locate sites straddling a flipped pair.
-    t_of = jnp.where(site_tri >= 0, site_tri, 0)
-    in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
-    cand = jnp.stack([t_of, flip_partner[t_of]], -1)
-    q = pts[site_ids + 3]
-    minw = _min_weight(pts, new_tv, cand, q[:, None, :])
-    best = jnp.argmax(minw, axis=-1)
-    new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
-    site_tri = jnp.where(in_flipped, new_t, site_tri)
+    if relocate:
+        # Re-locate sites straddling a flipped pair (insert phase only;
+        # cleanup runs with n_left == 0, where this [N]-sized pass is
+        # pure waste).
+        site_ids = jnp.arange(N, dtype=jnp.int32)
+        t_of = jnp.where(site_tri >= 0, site_tri, 0)
+        in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+        cand = jnp.stack([t_of, flip_partner[t_of]], -1)
+        q = pts[site_ids + 3]
+        minw = _min_weight(pts, new_tv, cand, q[:, None, :])
+        best = jnp.argmax(minw, axis=-1)
+        new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        site_tri = jnp.where(in_flipped, new_t, site_tri)
 
     return (new_tv, new_tn, cc, n_tris, site_tri, any_flip)
 
 
-def _flip_rounds(pts, st: BuildState, cap: int):
+def _flip_rounds(pts, st: BuildState, cap: int, relocate: bool = True):
     """Up to ``cap`` flip sub-rounds; returns (state, rounds_used)."""
     def cond(c):
         *_, changed, it = c
@@ -382,7 +432,10 @@ def _flip_rounds(pts, st: BuildState, cap: int):
 
     def body(c):
         tri_v, tri_n, cc, n_tris, site_tri, _changed, it = c
-        out = _flip_round(pts, (tri_v, tri_n, cc, n_tris, site_tri, True))
+        out = _flip_round(
+            pts, (tri_v, tri_n, cc, n_tris, site_tri, True),
+            relocate=relocate,
+        )
         return (*out, it + 1)
 
     tri_v, tri_n, cc, n_tris, site_tri, _, it = jax.lax.while_loop(
@@ -447,8 +500,8 @@ def build_2d(
 
     final, _ = jax.lax.while_loop(outer_cond, outer_body, (state, jnp.int32(0)))
     # Final cleanup: flip to convergence, restoring the global
-    # empty-circumcircle property.
-    final, _ = _flip_rounds(pts, final, max_flip_rounds)
+    # empty-circumcircle property (all sites inserted: skip relocation).
+    final, _ = _flip_rounds(pts, final, max_flip_rounds, relocate=False)
     alive = final.tri_v[:, 0] >= 0
     return final.tri_v, final.tri_n, alive, final.n_tris
 
@@ -461,37 +514,61 @@ def build_2d_chunked(
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
     dispatch_target_s: float = 20.0,
+    start_cap: int = 49152,
+    ladder_factor: int = 8,
+    r_compact: int = 262144,
+    sweep_rounds: int = 256,
 ):
-    """Host-orchestrated build: a few short device executions.
+    """Host-orchestrated CAPACITY-STAGED build: short device executions
+    whose per-round cost tracks the CURRENT triangulation size, not the
+    final one.
 
-    Identical algorithm to :func:`build_2d`, but the outer loop runs in
-    Python with donated on-device state, in batches of k insertion rounds
-    per dispatch.  Two reasons this path exists:
+    Identical algorithm to :func:`build_2d`, with three structural
+    changes that together took the 1M-site build from ~1090s (round 1)
+    to the tens of seconds:
 
-    * a single multi-minute device execution (1M+ sites) trips the TPU
-      runtime watchdog — bounded batches keep each execution short;
-    * through the axon tunnel, each dispatch's termination check costs a
-      device->host scalar readback (~0.5 s measured — ~1000x the actual
-      round execution), so rounds are batched with ``lax.while_loop`` and
-      k adapts (powers of two) to keep each dispatch near
-      ``dispatch_target_s`` while amortizing the sync.
+    * **capacity staging** — the triangle arrays start at ``start_cap``
+      slots and grow by ``ladder_factor`` when full ( _split_round defers
+      claims that would overflow).  Every kernel in a round is O(cap),
+      so the early rounds — which dominate the round count — run on tiny
+      arrays instead of all 2N+3 slots;
+    * **dirty-set cleanup** — the final flip-to-convergence runs on an
+      [r_compact]-compacted dirty subset (:func:`_flip_sweep_compact`)
+      instead of dense all-slot rounds, and skips the [N]-sized site
+      relocation entirely;
+    * the outer loop runs in Python with donated on-device state in
+      batches of k insertion rounds per dispatch: a single multi-minute
+      device execution trips the TPU runtime watchdog, and each
+      dispatch's termination check costs a device->host scalar readback
+      (~0.5s through the axon tunnel), so k is chosen from the known
+      geometric growth of the triangulation (x3 per round until sites
+      thin out) to fill each stage in ~1-2 dispatches.
     """
+    import math as _math
     import time as _time
 
     from ..utils import config
 
     N = sites_std.shape[0]
+    n_sites = N if n_real is None else n_real
     dtype = sites_std.dtype
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
+    full_m = 2 * N + 3
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def k_rounds(pts, st, k):
         # k is a traced operand (not static): every batch size shares ONE
         # compiled program — compile via the axon tunnel costs ~50x
         # execution, so program count matters more than loop-bound folding.
+        M = st.tri_v.shape[0]
+
         def cond(c):
             st, it = c
-            return jnp.logical_and(st.n_left > 0, it < k)
+            return (
+                (st.n_left > 0)
+                & (it < k)
+                & (st.n_tris + 2 <= M)  # full: wait for a capacity grow
+            )
 
         def body(c):
             st, it = c
@@ -504,48 +581,99 @@ def build_2d_chunked(
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def cleanup(pts, st, cap):
-        return _flip_rounds(pts, st, cap)  # cap traced: one program
+        return _flip_rounds(pts, st, cap, relocate=False)
 
-    st = _init_state(pts, N, n_real)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def grow(pts, st, new_cap):
+        M = st.tri_v.shape[0]
+        pad = new_cap - M
+        return BuildState(
+            jnp.concatenate([st.tri_v, jnp.full((pad, 3), -1, jnp.int32)]),
+            jnp.concatenate([st.tri_n, jnp.full((pad, 3), -1, jnp.int32)]),
+            jnp.concatenate([st.cc, jnp.zeros((pad, 4), st.cc.dtype)]),
+            st.n_tris,
+            st.site_tri,
+            st.n_left,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1, 2, 3, 4))
+    def sweep(pts, tri_v, tri_n, cc, dirty, R, cap):
+        return _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R, cap)
+
+    cap_now = min(start_cap, full_m)
+    st = _init_state(pts, N, n_real, cap=cap_now)
     rounds = 0
-    k = 1
     t0 = _time.perf_counter()
-    while int(st.n_left) > 0:
+    while True:
+        n_left = int(st.n_left)
+        if n_left == 0:
+            break
+        n_tris = 1 + 2 * (n_sites - n_left)
+        # Grow when the next round would be materially capacity-bound.
+        if cap_now < full_m and (cap_now - n_tris) // 2 < min(
+            n_left, n_tris
+        ):
+            new_cap = cap_now
+            while new_cap < full_m and (new_cap - n_tris) // 2 < min(
+                n_left, 3 * n_tris
+            ):
+                new_cap = min(new_cap * ladder_factor, full_m)
+            st = grow(pts, st, new_cap)
+            cap_now = new_cap
+            config.log.info("build: grow capacity -> %d", cap_now)
+        # Rounds until this capacity fills: growth is <= x3 per round.
+        k = max(1, int(_math.log(max(cap_now / max(n_tris, 1), 3), 3)))
         td = _time.perf_counter()
         st = k_rounds(pts, st, jnp.int32(k))
         n_left = int(st.n_left)  # forces the sync; count it in the wall
-        wall = _time.perf_counter() - td
         rounds += k
         config.log.info(
-            "build rounds ~%d (k=%d, %.2fs): %d left, %.2fs total",
-            rounds, k, wall, n_left, _time.perf_counter() - t0,
+            "build rounds ~%d (k=%d, cap=%d, %.2fs): %d left, %.2fs total",
+            rounds, k, cap_now, _time.perf_counter() - td, n_left,
+            _time.perf_counter() - t0,
         )
-        if wall < dispatch_target_s / 2 and k < 64:
-            k *= 2
-        elif wall > 2 * dispatch_target_s and k > 1:
-            k //= 2
+    if cap_now < full_m:
+        # Cleanup may still flip anywhere; capacity only gates splits,
+        # but freeze/downstream expect the full 2N+3 layout.
+        st = grow(pts, st, full_m)
     t1 = _time.perf_counter()
-    flip_rounds_used = 0
-    cap = max(1, cleanup_chunk // 8)
-    for _ in range(max_cleanup_chunks):
-        td = _time.perf_counter()
-        st, used = cleanup(pts, st, jnp.int32(cap))
-        used = int(used)
-        flip_rounds_used += used
-        if used < cap:
+    # Dirty-compacted cleanup: everything alive starts dirty.
+    tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
+    dirty = tri_v[:, 0] >= 0
+    R = min(r_compact, full_m)
+    swept = 0
+    while True:
+        tri_v, tri_n, cc, dirty, used, nd = sweep(
+            pts, tri_v, tri_n, cc, dirty, R, jnp.int32(sweep_rounds)
+        )
+        swept += int(used)
+        nd = int(nd)
+        if nd == 0:
             break
-        wall = _time.perf_counter() - td
-        if wall < dispatch_target_s / 2 and cap < cleanup_chunk:
-            cap *= 2
+        # Fixpoint with dirt left (un-executable candidates): finish on
+        # the dense path, whose termination rule ignores candidates.
+        config.log.info("build: sweep fixpoint with %d dirty rows", nd)
+        st = BuildState(
+            tri_v, tri_n, cc, st.n_tris, st.site_tri, st.n_left
+        )
+        flip_rounds_used = 0
+        cap = max(1, cleanup_chunk // 8)
+        for _ in range(max_cleanup_chunks):
+            st, used = cleanup(pts, st, jnp.int32(cap))
+            used = int(used)
+            flip_rounds_used += used
+            if used < cap:
+                break
+            if cap < cleanup_chunk:
+                cap *= 2
+        tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
+        break
     config.log.info(
-        "build: ~%d insert rounds %.1fs, %d cleanup flip rounds %.1fs",
-        rounds,
-        t1 - t0,
-        flip_rounds_used,
-        _time.perf_counter() - t1,
+        "build: ~%d insert rounds %.1fs, %d sweep rounds %.1fs",
+        rounds, t1 - t0, swept, _time.perf_counter() - t1,
     )
-    alive = st.tri_v[:, 0] >= 0
-    return st.tri_v, st.tri_n, alive, st.n_tris
+    alive = tri_v[:, 0] >= 0
+    return tri_v, tri_n, alive, st.n_tris
 
 
 def triangulate(
@@ -677,3 +805,102 @@ def _repair_after_flip(tri_v, tri_n, flip_partner):
         owner = _owner_of_face(tri_v, cands, a, b)
         out = out.at[:, m].set(jnp.where(stale, owner, n))
     return out
+
+
+def _repair_rows(tri_v, tri_n, flip_partner, rrows, rvalid):
+    """Like :func:`_repair_after_flip` but only for the listed rows.
+
+    After a flip, the only stale neighbor pointers live in the flipped
+    pair and its four outer neighbors — [6R] rows instead of all M.
+    Duplicate rows are fine: every repair recomputes the same owner from
+    the post-flip arrays, so repeated scatters are idempotent.
+    """
+    M = tri_v.shape[0]
+    rs = jnp.where(rvalid, rrows, 0)
+    tvr = geometry.take_rows(tri_v, rs)
+    tnr = geometry.take_rows(tri_n, rs)
+    out = tnr
+    for m in range(3):
+        n = tnr[:, m]
+        stale = rvalid & (n >= 0) & (
+            flip_partner[jnp.where(n >= 0, n, 0)] >= 0
+        )
+        ns = jnp.where(stale, n, 0)
+        a = tvr[:, (m + 1) % 3]
+        b = tvr[:, (m + 2) % 3]
+        cands = jnp.stack([ns, flip_partner[ns]], -1)
+        owner = _owner_of_face(tri_v, cands, a, b)
+        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    return tri_n.at[jnp.where(rvalid, rrows, M + 1)].set(out, mode="drop")
+
+
+def _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R: int, cap):
+    """Dirty-set flip rounds on an [R]-compacted workspace (cleanup phase).
+
+    The dense flip round touches all M slots every sub-round; during
+    cleanup the set of possibly-violating edges collapses geometrically,
+    so each round here gathers (up to) R dirty rows, evaluates the
+    candidate predicates on [R, 3] only, flips, and re-marks just the
+    flip neighborhoods dirty.  Invariant: both triangles of any
+    newly-violating edge are dirty (a flip marks its pair + 4 outer
+    neighbors), so matching inside the dirty set loses no flips.  When
+    #dirty > R the overflow rows simply stay dirty for a later round.
+
+    No site relocation happens here — the sweep is for the phase where
+    every site is already inserted (n_left == 0).
+
+    Returns (tri_v, tri_n, cc, dirty, rounds_used, n_dirty).
+    """
+    M = tri_v.shape[0]
+    arange_m = jnp.arange(M, dtype=jnp.int32)
+
+    def body(carry):
+        tri_v, tri_n, cc, dirty, it, _progress = carry
+        n_dirty0 = jnp.sum(dirty.astype(jnp.int32))
+        didx = jnp.cumsum(dirty.astype(jnp.int32)) - 1
+        sel = dirty & (didx < R)
+        rows = jnp.full(R + 1, -1, jnp.int32).at[
+            jnp.where(sel, didx, R)
+        ].set(arange_m, mode="drop")[:R]
+        rvalid = rows >= 0
+        tv, tn, cand_ok = _edge_candidates(
+            pts, tri_v, tri_n, cc, rows, rvalid
+        )
+        tri_v, tri_n, cc, flip_partner, do, u_ids, nbrs, any_flip = (
+            _match_and_flip(
+                pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok
+            )
+        )
+        Np, Nq, Up, Uq = nbrs
+        rs = jnp.where(rvalid, rows, 0)
+        rep = jnp.concatenate([rs, u_ids, Np, Nq, Up, Uq])
+        repv = jnp.concatenate([do] * 6) & (rep >= 0)
+        tri_n = _repair_rows(tri_v, tri_n, flip_partner, rep, repv)
+        # Processed rows stay dirty iff they still carry a candidate edge
+        # (lost the matching / partner beyond the batch); flip
+        # neighborhoods are re-marked.  Overflow rows keep their flag.
+        dirty = dirty.at[jnp.where(rvalid, rows, M + 1)].set(
+            jnp.any(cand_ok, axis=-1), mode="drop"
+        )
+        dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(
+            True, mode="drop"
+        )
+        # Progress = a flip executed OR the dirty set shrank (a cleaning
+        # round rotates overflow rows into the next batch).  A round with
+        # neither is a fixpoint: deterministic selection would repeat it
+        # verbatim — the host falls back to the dense path.
+        progress = any_flip | (
+            jnp.sum(dirty.astype(jnp.int32)) < n_dirty0
+        )
+        return tri_v, tri_n, cc, dirty, it + 1, progress
+
+    def cond(carry):
+        *_, dirty, it, progress = carry
+        return jnp.any(dirty) & (it < cap) & progress
+
+    tri_v, tri_n, cc, dirty, it, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (tri_v, tri_n, cc, dirty, jnp.int32(0), True),
+    )
+    return tri_v, tri_n, cc, dirty, it, jnp.sum(dirty.astype(jnp.int32))

@@ -1,9 +1,12 @@
 """Device (batched-parallel) 2D Delaunay build vs host oracle and scipy."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.spatial import Delaunay as ScipyDelaunay
+
+from gsl_scattered_interpolation_tpu.ops import geometry
 
 from gsl_scattered_interpolation_tpu.models import (
     device_delaunay as dd,
@@ -106,6 +109,37 @@ class TestBuild:
             tri_b.tri_nbrs,
             n_data=len(sites),
         )
+
+    def test_staged_capacity_equals_single(self):
+        # Force many capacity stages (start_cap far below 2N+3, smallest
+        # growth factor) and compact-sweep overflow (r_compact << M): the
+        # staged orchestrator must still produce the identical
+        # triangulation to the one-program build.
+        sites = _rand(400, 13)
+        cage_std = jnp.asarray(
+            geometry.cage_vertices(2, np.zeros(2), np.ones(2), np.float64)
+        )
+        std = jnp.asarray(sites)
+        tv_a, tn_a, alive_a, _ = jax.jit(dd.build_2d)(
+            std, cage_std, n_real=jnp.int32(400)
+        )
+        tv_b, tn_b, alive_b, _ = dd.build_2d_chunked(
+            std,
+            cage_std,
+            n_real=400,
+            start_cap=64,
+            ladder_factor=2,
+            r_compact=96,
+        )
+        set_a = {
+            tuple(sorted(r.tolist()))
+            for r in np.asarray(tv_a)[np.asarray(alive_a)]
+        }
+        set_b = {
+            tuple(sorted(r.tolist()))
+            for r in np.asarray(tv_b)[np.asarray(alive_b)]
+        }
+        assert set_a == set_b
 
     def test_weather_end_to_end(self):
         sites, temps = datasets.weather()
