@@ -294,8 +294,10 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     apex3 = geometry.take_rows(pts, tv)           # [R, 3, 2]
     p1_id = jnp.roll(tv, -1, axis=1)
     p2_id = jnp.roll(tv, -2, axis=1)
-    p1q = geometry.take_rows(pts, p1_id)
-    p2q = geometry.take_rows(pts, p2_id)
+    # p1/p2 coordinates are rolls of the already-gathered apex rows —
+    # global point gathers are the dominant kernel cost at 1e6 rows.
+    p1q = jnp.roll(apex3, -1, axis=1)
+    p2q = jnp.roll(apex3, -2, axis=1)
     # convexity: segment (apex, far) must cross the shared edge.
     # Compensated predicates: plain f32 determinant signs are wrong on
     # cage-scale quads (ops/robust.py docstring).
@@ -306,8 +308,10 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     # current diagonal = positions (1,3); flip target = (0,2).
     quad = jnp.stack([tv, p1_id, far3, p2_id], -1)  # [R, 3, 4] ids
     order = jnp.argsort(quad, axis=-1)
-    sid = jnp.take_along_axis(quad, order, -1)
-    sp = geometry.take_rows(pts, sid)  # [R, 3, 4, 2]
+    # Sort the COORDINATES with a local 4-way shuffle of the points we
+    # already hold, not a fresh 12R-row global gather.
+    quad_pts = jnp.stack([apex3, p1q, fq3, p2q], 2)  # [R, 3, 4, 2]
+    sp = jnp.take_along_axis(quad_pts, order[..., None], axis=2)
     O = robust.orient2d_ds(sp[:, :, 0], sp[:, :, 1], sp[:, :, 2])
     S = robust.incircle_ds(
         sp[:, :, 0], sp[:, :, 1], sp[:, :, 2], sp[:, :, 3]
@@ -351,32 +355,55 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     # reference likewise leaves un-flippable violations in place
     # (edge_flip.c:244-254).
     do = mutual & (rs < pick_safe)
+    # Cap executed flips at R//4 (deferring the overflow pairs — they
+    # stay candidates and re-match next round), then COMPACT the executed
+    # set: everything below — slot search, rewrites, repair rows, the
+    # circumcircle refresh — runs on [Rf] rows instead of [R].  Typical
+    # rounds execute well under the cap.  Unexecuted mutual pairs remain
+    # in flip_partner; downstream consumers (repair owner-search, site
+    # relocation) are no-ops for unchanged pairs, so the over-marking is
+    # harmless.
+    R = do.shape[0]
+    Rf = max(R // 4, 64)
+    frank = jnp.cumsum(do.astype(jnp.int32)) - 1
+    do = do & (frank < Rf)
     any_flip = jnp.any(do)
-    u_ids = jnp.where(do, pick_safe, 0)
     # flip_partner over the global id space, for repair + relocation
     flip_partner = jnp.full(M, -1, jnp.int32).at[
         jnp.where(mutual & rvalid, rs, M + 1)
     ].set(pick_safe, mode="drop")
 
-    # Slots: k in t facing u; j in u facing t.
-    k_slot = jnp.argmax(tn == u_ids[:, None], axis=-1)
-    j_slot = jnp.argmax(tri_n[u_ids] == rs[:, None], axis=-1)
-    c = jnp.take_along_axis(tv, k_slot[:, None], -1)[:, 0]
-    e = jnp.take_along_axis(tri_v[u_ids], j_slot[:, None], -1)[:, 0]
-    # t's other verts/nbrs: p at k+1, q at k+2 (slot order).
-    pv = jnp.take_along_axis(tv, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    qv = jnp.take_along_axis(tv, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
-    Np = jnp.take_along_axis(tn, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    Nq = jnp.take_along_axis(tn, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
-    # u's neighbors across faces {e,q} and {e,p}: match by vertex value.
-    uv = tri_v[u_ids]  # [R, 3]
-    p_in_u = jnp.argmax(uv == pv[:, None], axis=-1)
-    q_in_u = jnp.argmax(uv == qv[:, None], axis=-1)
-    Up = jnp.take_along_axis(tri_n[u_ids], p_in_u[:, None], -1)[:, 0]
-    Uq = jnp.take_along_axis(tri_n[u_ids], q_in_u[:, None], -1)[:, 0]
+    fidx = jnp.full(Rf + 1, -1, jnp.int32).at[
+        jnp.where(do, frank, Rf)
+    ].set(jnp.arange(R, dtype=jnp.int32), mode="drop")[:Rf]
+    fvalid = fidx >= 0
+    fs = jnp.where(fvalid, fidx, 0)
+    ts = jnp.where(fvalid, rs[fs], 0)          # [Rf] lower-id triangle
+    us = jnp.where(fvalid, pick_safe[fs], 0)   # [Rf] its partner
+    tvf = geometry.take_rows(tv, fs)
+    tnf = geometry.take_rows(tn, fs)
 
-    rows_t = jnp.where(do, rs, M + 1)
-    rows_u = jnp.where(do, u_ids, M + 1)
+    # Slots: k in t facing u; j in u facing t.  One gather each of u's
+    # vertex/neighbor rows, reused below.
+    uvv = tri_v[us]  # [Rf, 3]
+    unn = tri_n[us]
+    k_slot = jnp.argmax(tnf == us[:, None], axis=-1)
+    j_slot = jnp.argmax(unn == ts[:, None], axis=-1)
+    c = jnp.take_along_axis(tvf, k_slot[:, None], -1)[:, 0]
+    e = jnp.take_along_axis(uvv, j_slot[:, None], -1)[:, 0]
+    # t's other verts/nbrs: p at k+1, q at k+2 (slot order).
+    pv = jnp.take_along_axis(tvf, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+    qv = jnp.take_along_axis(tvf, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+    Np = jnp.take_along_axis(tnf, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
+    Nq = jnp.take_along_axis(tnf, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
+    # u's neighbors across faces {e,q} and {e,p}: match by vertex value.
+    p_in_u = jnp.argmax(uvv == pv[:, None], axis=-1)
+    q_in_u = jnp.argmax(uvv == qv[:, None], axis=-1)
+    Up = jnp.take_along_axis(unn, p_in_u[:, None], -1)[:, 0]
+    Uq = jnp.take_along_axis(unn, q_in_u[:, None], -1)[:, 0]
+
+    rows_t = jnp.where(fvalid, ts, M + 1)
+    rows_u = jnp.where(fvalid, us, M + 1)
     new_tv = tri_v.at[rows_t].set(
         jnp.stack([e, c, qv], -1), mode="drop"
     ).at[rows_u].set(jnp.stack([e, c, pv], -1), mode="drop")
@@ -384,13 +411,19 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     # slot1 opp c -> face {e,q} = old u's face opp p -> Up; slot2 -> u.
     # T2=(e,c,p): slot0 -> Nq (t's face opp q); slot1 -> Uq; slot2 -> t.
     new_tn = tri_n.at[rows_t].set(
-        jnp.stack([Np, Up, u_ids], -1), mode="drop"
-    ).at[rows_u].set(jnp.stack([Nq, Uq, rs], -1), mode="drop")
+        jnp.stack([Np, Up, us], -1), mode="drop"
+    ).at[rows_u].set(jnp.stack([Nq, Uq, ts], -1), mode="drop")
 
     # Refresh circumcircle cache for rewritten pairs.
-    rows2 = jnp.concatenate([rs, u_ids])
-    cc = _cc_update(cc, pts, new_tv, rows2, jnp.concatenate([do, do]), M)
-    return new_tv, new_tn, cc, flip_partner, do, u_ids, (Np, Nq, Up, Uq), any_flip
+    rows2 = jnp.concatenate([ts, us])
+    cc = _cc_update(
+        cc, pts, new_tv, rows2, jnp.concatenate([fvalid, fvalid]), M
+    )
+    # Rows whose neighbor pointers may now be stale: the pair + its four
+    # outer neighbors.
+    rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
+    repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
+    return new_tv, new_tn, cc, flip_partner, rep, repv, any_flip
 
 
 def _flip_round(pts, carry, relocate=True):
@@ -400,7 +433,7 @@ def _flip_round(pts, carry, relocate=True):
     rows = jnp.arange(M, dtype=jnp.int32)
     rvalid = jnp.ones((M,), bool)
     tv, tn, cand_ok = _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid)
-    new_tv, new_tn, cc, flip_partner, do, u_ids, _nbrs, any_flip = (
+    new_tv, new_tn, cc, flip_partner, _rep, _repv, any_flip = (
         _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok)
     )
 
@@ -509,15 +542,16 @@ def build_2d(
 def build_2d_chunked(
     sites_std,
     cage_std,
-    flips_per_round: int = 1,
+    flips_per_round: int = 2,
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
     dispatch_target_s: float = 20.0,
-    start_cap: int = 49152,
+    start_cap: int = 1 << 30,
     ladder_factor: int = 8,
-    r_compact: int = 262144,
-    sweep_rounds: int = 256,
+    r_compact: int = 524288,
+    r_site: int = 262144,
+    sweep_rounds: int = 24,
 ):
     """Host-orchestrated CAPACITY-STAGED build: short device executions
     whose per-round cost tracks the CURRENT triangulation size, not the
@@ -555,36 +589,46 @@ def build_2d_chunked(
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
     full_m = 2 * N + 3
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def k_rounds(pts, st, k):
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def k_rounds(pts, st, dirty, k):
         # k is a traced operand (not static): every batch size shares ONE
         # compiled program — compile via the axon tunnel costs ~50x
         # execution, so program count matters more than loop-bound folding.
         M = st.tri_v.shape[0]
+        R = min(r_compact, M)
 
         def cond(c):
-            st, it = c
-            return (
-                (st.n_left > 0)
-                & (it < k)
-                & (st.n_tris + 2 <= M)  # full: wait for a capacity grow
-            )
+            st, dirty, it, progress = c
+            return (st.n_left > 0) & (it < k) & progress
 
         def body(c):
-            st, it = c
-            st = _split_round(pts, st)
-            st, _ = _flip_rounds(pts, st, flips_per_round)
-            return st, it + 1
+            st, dirty, it, _progress = c
+            st, dirty, n_new = _split_round_compact(
+                pts, st, dirty, R, r_site
+            )
+            tri_v, tri_n, cc, dirty, _, _, site_tri = _flip_sweep_compact(
+                pts, st.tri_v, st.tri_n, st.cc, dirty,
+                R, jnp.int32(flips_per_round),
+                site_tri=st.site_tri, r_site=r_site,
+            )
+            st = BuildState(
+                tri_v, tri_n, cc, st.n_tris, site_tri, st.n_left
+            )
+            # A claim-less round at a full capacity is a stall: return to
+            # the host for a grow instead of spinning out the batch.
+            return st, dirty, it + 1, n_new > 0
 
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-        return st
+        st, dirty, _, _ = jax.lax.while_loop(
+            cond, body, (st, dirty, jnp.int32(0), True)
+        )
+        return st, dirty
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def cleanup(pts, st, cap):
         return _flip_rounds(pts, st, cap, relocate=False)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def grow(pts, st, new_cap):
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def grow(pts, st, dirty, new_cap):
         M = st.tri_v.shape[0]
         pad = new_cap - M
         return BuildState(
@@ -594,14 +638,20 @@ def build_2d_chunked(
             st.n_tris,
             st.site_tri,
             st.n_left,
-        )
+        ), jnp.concatenate([dirty, jnp.zeros(pad, bool)])
 
     @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1, 2, 3, 4))
     def sweep(pts, tri_v, tri_n, cc, dirty, R, cap):
         return _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R, cap)
 
+    t_entry = _time.perf_counter()
     cap_now = min(start_cap, full_m)
     st = _init_state(pts, N, n_real, cap=cap_now)
+    dirty = jnp.zeros(cap_now, bool)
+    jax.block_until_ready(st.site_tri)
+    config.log.info(
+        "build: init state %.2fs", _time.perf_counter() - t_entry
+    )
     rounds = 0
     t0 = _time.perf_counter()
     while True:
@@ -618,13 +668,19 @@ def build_2d_chunked(
                 n_left, 3 * n_tris
             ):
                 new_cap = min(new_cap * ladder_factor, full_m)
-            st = grow(pts, st, new_cap)
+            st, dirty = grow(pts, st, dirty, new_cap)
             cap_now = new_cap
             config.log.info("build: grow capacity -> %d", cap_now)
         # Rounds until this capacity fills: growth is <= x3 per round.
-        k = max(1, int(_math.log(max(cap_now / max(n_tris, 1), 3), 3)))
+        # Once capacity can hold every remaining site, batch the whole
+        # coupon-collector tail (same-leaf groups insert one per round)
+        # into single dispatches — rounds self-terminate at n_left == 0.
+        if (cap_now - n_tris) // 2 >= n_left:
+            k = 16
+        else:
+            k = max(1, int(_math.log(max(cap_now / max(n_tris, 1), 3), 3)))
         td = _time.perf_counter()
-        st = k_rounds(pts, st, jnp.int32(k))
+        st, dirty = k_rounds(pts, st, dirty, jnp.int32(k))
         n_left = int(st.n_left)  # forces the sync; count it in the wall
         rounds += k
         config.log.info(
@@ -635,21 +691,28 @@ def build_2d_chunked(
     if cap_now < full_m:
         # Cleanup may still flip anywhere; capacity only gates splits,
         # but freeze/downstream expect the full 2N+3 layout.
-        st = grow(pts, st, full_m)
+        st, dirty = grow(pts, st, dirty, full_m)
     t1 = _time.perf_counter()
-    # Dirty-compacted cleanup: everything alive starts dirty.
+    # Dirty-compacted cleanup, continuing from the insert rounds' carried
+    # dirty set (the non-dirty remainder is already locally Delaunay).
     tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
-    dirty = tri_v[:, 0] >= 0
     R = min(r_compact, full_m)
     swept = 0
     while True:
-        tri_v, tri_n, cc, dirty, used, nd = sweep(
+        tri_v, tri_n, cc, dirty, used, nd, _ = sweep(
             pts, tri_v, tri_n, cc, dirty, R, jnp.int32(sweep_rounds)
         )
-        swept += int(used)
+        used = int(used)
+        swept += used
         nd = int(nd)
         if nd == 0:
             break
+        if used == sweep_rounds:
+            # Cap-limited (the per-dispatch round bound keeps a single
+            # device execution under the TPU runtime watchdog) — still
+            # progressing, keep sweeping.
+            config.log.info("build: sweep continues, %d dirty", nd)
+            continue
         # Fixpoint with dirt left (un-executable candidates): finish on
         # the dense path, whose termination rule ignores candidates.
         config.log.info("build: sweep fixpoint with %d dirty rows", nd)
@@ -834,28 +897,181 @@ def _repair_rows(tri_v, tri_n, flip_partner, rrows, rvalid):
     return tri_n.at[jnp.where(rvalid, rrows, M + 1)].set(out, mode="drop")
 
 
-def _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R: int, cap):
-    """Dirty-set flip rounds on an [R]-compacted workspace (cleanup phase).
+def _relocate_sites_chunked(pts, tri_v, site_tri, affected, cand_of, r_site):
+    """Re-locate the affected sites among their candidate triangles.
 
-    The dense flip round touches all M slots every sub-round; during
-    cleanup the set of possibly-violating edges collapses geometrically,
-    so each round here gathers (up to) R dirty rows, evaluates the
-    candidate predicates on [R, 3] only, flips, and re-marks just the
-    flip neighborhoods dirty.  Invariant: both triangles of any
-    newly-violating edge are dirty (a flip marks its pair + 4 outer
-    neighbors), so matching inside the dirty set loses no flips.  When
-    #dirty > R the overflow rows simply stay dirty for a later round.
+    The dense rounds re-evaluate ``_min_weight`` for every one of N sites
+    every round (masked); here the affected ids are prefix-compacted and
+    processed in ``r_site``-sized chunks inside a while_loop, so the work
+    tracks the actual affected count (all of N early, a handful late).
 
-    No site relocation happens here — the sweep is for the phase where
-    every site is already inserted (n_left == 0).
+    ``cand_of(t_of) -> [B, C]`` supplies each site's candidate triangles
+    from its current containing triangle.
+    """
+    N = site_tri.shape[0]
+    site_ids = jnp.arange(N, dtype=jnp.int32)
+    cnt = jnp.sum(affected.astype(jnp.int32))
+    srank = jnp.cumsum(affected.astype(jnp.int32)) - 1
+    csite = jnp.zeros(N + r_site, jnp.int32).at[
+        jnp.where(affected, srank, N + r_site - 1)
+    ].set(site_ids, mode="drop")
 
-    Returns (tri_v, tri_n, cc, dirty, rounds_used, n_dirty).
+    def chunk_body(c):
+        site_tri, ci = c
+        sb = jax.lax.dynamic_slice(csite, (ci * r_site,), (r_site,))
+        valid = (ci * r_site + jnp.arange(r_site, dtype=jnp.int32)) < cnt
+        sb = jnp.where(valid, sb, 0)
+        t_of = jnp.where(valid, site_tri[sb], 0)
+        cand = cand_of(t_of)
+        q = geometry.take_rows(pts, sb + 3)
+        minw = _min_weight(pts, tri_v, cand, q[:, None, :])
+        best = jnp.argmax(minw, axis=-1)
+        new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        site_tri = site_tri.at[jnp.where(valid, sb, N + 1)].set(
+            new_t, mode="drop"
+        )
+        return site_tri, ci + 1
+
+    site_tri, _ = jax.lax.while_loop(
+        lambda c: c[1] * r_site < cnt, chunk_body, (site_tri, jnp.int32(0))
+    )
+    return site_tri
+
+
+def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
+    """Activity-compacted insertion round.
+
+    Same semantics as :func:`_split_round` (identical claims, identical
+    relocation decisions), but the splitting triangles are prefix-
+    compacted into an [R] workspace, neighbor repair touches only the 6R
+    affected rows, and site relocation runs chunked over the affected
+    sites — so a round's cost tracks the number of claims, not the array
+    capacity.  Claims beyond R (or beyond capacity) are deferred to the
+    next round.  Returns ``(state, dirty)`` with the new children and
+    their neighbors marked dirty for the flip sweep.
+    """
+    M = st.tri_v.shape[0]
+    N = st.site_tri.shape[0]
+    site_ids = jnp.arange(N, dtype=jnp.int32)
+    tri_v, tri_n, cc, n_tris, site_tri, n_left = st
+
+    # 1. Each leaf claims its lowest-id uninserted site.
+    tgt = jnp.where(site_tri >= 0, site_tri, M)
+    claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
+    has = claim != INT_MAX
+    rank = jnp.cumsum(has.astype(jnp.int32)) - 1
+    has = has & (n_tris + 2 * (rank + 1) <= M) & (rank < R)
+
+    # 2. Compact the splitting rows.
+    prow = jnp.full(R + 1, -1, jnp.int32).at[
+        jnp.where(has, rank, R)
+    ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")[:R]
+    pvalid = prow >= 0
+    ps = jnp.where(pvalid, prow, 0)
+    i_r = jnp.arange(R, dtype=jnp.int32)
+    ca = jnp.where(pvalid, n_tris + 2 * i_r, -1)
+    cb = jnp.where(pvalid, n_tris + 2 * i_r + 1, -1)
+    s_pid = (claim[ps] + 3).astype(jnp.int32)
+    tvr = geometry.take_rows(tri_v, ps)
+    tnr = geometry.take_rows(tri_n, ps)
+    v0, v1, v2 = tvr[:, 0], tvr[:, 1], tvr[:, 2]
+    n0, n1, n2 = tnr[:, 0], tnr[:, 1], tnr[:, 2]
+
+    def scat(arr, rows, vals):
+        rows = jnp.where(pvalid, rows, M + 1)
+        return arr.at[rows].set(vals, mode="drop")
+
+    # Child in parent slot keeps face 0 (old n0); cA gets n1; cB gets n2.
+    tri_v = scat(tri_v, ps, jnp.stack([s_pid, v1, v2], -1))
+    tri_n = scat(tri_n, ps, jnp.stack([n0, ca, cb], -1))
+    tri_v = scat(tri_v, ca, jnp.stack([s_pid, v2, v0], -1))
+    tri_n = scat(tri_n, ca, jnp.stack([n1, cb, ps], -1))
+    tri_v = scat(tri_v, cb, jnp.stack([s_pid, v0, v1], -1))
+    tri_n = scat(tri_n, cb, jnp.stack([n2, ps, ca], -1))
+    n_new = jnp.sum(pvalid.astype(jnp.int32))
+    n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
+
+    # 3. Split maps + compacted neighbor repair (children may copy stale
+    # pointers at neighbors that split this round; neighbors' pointers at
+    # a split parent re-resolve among its three children).
+    rows_p = jnp.where(pvalid, prow, M + 1)
+    cA_map = jnp.full(M, -1, jnp.int32).at[rows_p].set(ca, mode="drop")
+    cB_map = jnp.full(M, -1, jnp.int32).at[rows_p].set(cb, mode="drop")
+    split_flag = cA_map >= 0
+    rep = jnp.concatenate([ps, ca, cb, n0, n1, n2])
+    repv = jnp.concatenate([pvalid] * 6) & (rep >= 0)
+    rs = jnp.where(repv, rep, 0)
+    tvr6 = geometry.take_rows(tri_v, rs)
+    tnr6 = geometry.take_rows(tri_n, rs)
+    out = tnr6
+    for m in range(3):
+        n = tnr6[:, m]
+        stale = repv & (n >= 0) & split_flag[jnp.where(n >= 0, n, 0)]
+        ns = jnp.where(stale, n, 0)
+        a = tvr6[:, (m + 1) % 3]
+        b = tvr6[:, (m + 2) % 3]
+        cands = jnp.stack([ns, cA_map[ns], cB_map[ns]], -1)
+        owner = _owner_of_face(tri_v, cands, a, b)
+        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    tri_n = tri_n.at[jnp.where(repv, rep, M + 1)].set(out, mode="drop")
+
+    # 4. Circumcircle cache for the 3 children of every split.
+    rows3 = jnp.concatenate([ps, ca, cb])
+    cc = _cc_update(
+        cc, pts, tri_v, rows3, jnp.concatenate([pvalid] * 3), M
+    )
+
+    # 5. Re-locate sites whose leaf split (chunked); retire claimed.
+    t_of = jnp.where(site_tri >= 0, site_tri, 0)
+    needs = (site_tri >= 0) & split_flag[t_of]
+    site_tri = _relocate_sites_chunked(
+        pts,
+        tri_v,
+        site_tri,
+        needs,
+        lambda t: jnp.stack([t, cA_map[t], cB_map[t]], -1),
+        r_site,
+    )
+    claimed = needs & (claim[t_of] == site_ids)
+    site_tri = jnp.where(claimed, -1, site_tri)
+    n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
+
+    # 6. Mark the flip frontier dirty.
+    dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(True, mode="drop")
+    st = BuildState(tri_v, tri_n, cc, n_tris, site_tri, n_left)
+    return st, dirty, n_new
+
+
+def _flip_sweep_compact(
+    pts, tri_v, tri_n, cc, dirty, R: int, cap,
+    site_tri=None, r_site: int = 65536,
+):
+    """Dirty-set flip rounds on an [R]-compacted workspace.
+
+    The dense flip round touches all M slots every sub-round; the set of
+    possibly-violating edges collapses geometrically, so each round here
+    gathers (up to) R dirty rows, evaluates the candidate predicates on
+    [R, 3] only, flips, and re-marks just the flip neighborhoods dirty.
+    Invariant: both triangles of any newly-violating edge are dirty (a
+    flip marks its pair + 4 outer neighbors), so matching inside the
+    dirty set loses no flips.  When #dirty > R the overflow rows simply
+    stay dirty for a later round.
+
+    With ``site_tri`` given (insert phase), sites straddling a flipped
+    pair re-locate after every round, chunked over the affected set; pass
+    None for the final cleanup (every site inserted — no [N] work at
+    all).
+
+    Returns (tri_v, tri_n, cc, dirty, rounds_used, n_dirty, site_tri).
     """
     M = tri_v.shape[0]
     arange_m = jnp.arange(M, dtype=jnp.int32)
+    relocate = site_tri is not None
+    if site_tri is None:
+        site_tri = jnp.zeros((1,), jnp.int32)  # carry placeholder
 
     def body(carry):
-        tri_v, tri_n, cc, dirty, it, _progress = carry
+        tri_v, tri_n, cc, dirty, site_tri, it, _progress = carry
         n_dirty0 = jnp.sum(dirty.astype(jnp.int32))
         didx = jnp.cumsum(dirty.astype(jnp.int32)) - 1
         sel = dirty & (didx < R)
@@ -866,15 +1082,11 @@ def _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R: int, cap):
         tv, tn, cand_ok = _edge_candidates(
             pts, tri_v, tri_n, cc, rows, rvalid
         )
-        tri_v, tri_n, cc, flip_partner, do, u_ids, nbrs, any_flip = (
+        tri_v, tri_n, cc, flip_partner, rep, repv, any_flip = (
             _match_and_flip(
                 pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok
             )
         )
-        Np, Nq, Up, Uq = nbrs
-        rs = jnp.where(rvalid, rows, 0)
-        rep = jnp.concatenate([rs, u_ids, Np, Nq, Up, Uq])
-        repv = jnp.concatenate([do] * 6) & (rep >= 0)
         tri_n = _repair_rows(tri_v, tri_n, flip_partner, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / partner beyond the batch); flip
@@ -885,6 +1097,17 @@ def _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R: int, cap):
         dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(
             True, mode="drop"
         )
+        if relocate:
+            t_of = jnp.where(site_tri >= 0, site_tri, 0)
+            affected = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+            site_tri = _relocate_sites_chunked(
+                pts,
+                tri_v,
+                site_tri,
+                affected,
+                lambda t: jnp.stack([t, flip_partner[t]], -1),
+                r_site,
+            )
         # Progress = a flip executed OR the dirty set shrank (a cleaning
         # round rotates overflow rows into the next batch).  A round with
         # neither is a fixpoint: deterministic selection would repeat it
@@ -892,15 +1115,19 @@ def _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R: int, cap):
         progress = any_flip | (
             jnp.sum(dirty.astype(jnp.int32)) < n_dirty0
         )
-        return tri_v, tri_n, cc, dirty, it + 1, progress
+        return tri_v, tri_n, cc, dirty, site_tri, it + 1, progress
 
     def cond(carry):
-        *_, dirty, it, progress = carry
+        *_, it, progress = carry
+        dirty = carry[3]
         return jnp.any(dirty) & (it < cap) & progress
 
-    tri_v, tri_n, cc, dirty, it, _ = jax.lax.while_loop(
+    tri_v, tri_n, cc, dirty, site_tri, it, _ = jax.lax.while_loop(
         cond,
         body,
-        (tri_v, tri_n, cc, dirty, jnp.int32(0), True),
+        (tri_v, tri_n, cc, dirty, site_tri, jnp.int32(0), True),
     )
-    return tri_v, tri_n, cc, dirty, it, jnp.sum(dirty.astype(jnp.int32))
+    return (
+        tri_v, tri_n, cc, dirty, it,
+        jnp.sum(dirty.astype(jnp.int32)), site_tri,
+    )
