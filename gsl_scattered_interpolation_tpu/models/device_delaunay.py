@@ -93,31 +93,76 @@ def _incircle_det(a, b, c, d):
     )
 
 
-def _min_weight(pts, tri_v, tris, q):
-    """Min barycentric weight of points q in triangles `tris` (std coords).
+def _assign_split_child(pts, tri_v, cAB_map, t_of, q):
+    """Post-split child selection by sector tests around the new vertex.
 
-    Weights are ratios of orientation determinants,
-    ``w_i = orient(q, v_{i+1}, v_{i+2}) / orient(v0, v1, v2)``, computed
-    with the compensated predicates: plain f32 weights carry
-    kappa-amplified noise that misassigns boundary sites during
-    relocation at fine spacings (~1e-3 at 1M sites), seeding inverted
-    splits.  Site-to-triangle assignment decisions must be as reliable as
-    the flip predicates.
+    A 1->3 split partitions the parent into the three sectors between the
+    rays s->v0, s->v1, s->v2 from the inserted vertex s; membership needs
+    only the signs of ``orient(s, v_i, q)`` — 4 compensated predicates per
+    site instead of the 12 of a generic min-barycentric-weight candidate
+    scan (the relocation passes are the dominant per-round cost at 1M
+    sites).  Child layout (see _split_round): parent slot P=(s,v1,v2),
+    cA=(s,v2,v0), cB=(s,v0,v1).  Decisions stay on the compensated
+    predicates: plain f32 signs carry kappa-amplified noise that
+    misassigns boundary sites at fine spacings (~1e-3 at 1M sites),
+    seeding inverted splits — assignment must be as reliable as the flip
+    tests.  Ties (q on a ray) resolve deterministically (A, then B,
+    else P).
     """
-    verts = geometry.take_rows(pts, geometry.take_rows(tri_v, tris))
-    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
-    qb = jnp.broadcast_to(q, v0.shape)
-    D = robust.orient2d_ds(v0, v1, v2)
-    O0 = robust.orient2d_ds(qb, v1, v2)
-    O1 = robust.orient2d_ds(v0, qb, v2)
-    O2 = robust.orient2d_ds(v0, v1, qb)
-    ok = D != 0
-    safe = jnp.where(ok, D, 1.0)
-    minw = jnp.minimum(jnp.minimum(O0, O1), O2) / safe
-    maxw = jnp.maximum(jnp.maximum(O0, O1), O2) / safe
-    # Dividing by a negative D flips the ordering.
-    minw = jnp.where(D > 0, minw, maxw)
-    return jnp.where(ok, minw, -jnp.inf)
+    # Kernel-count discipline (the ~2-3ms/kernel tax dwarfs predicate
+    # flops): THREE batched row gathers — the (cA, cB) pair from the
+    # [M, 2] map, triangle rows for (P, cA) together, then all four
+    # point rows together.
+    ab = geometry.take_rows(cAB_map, t_of)  # [B, 2]
+    A, B = ab[:, 0], ab[:, 1]
+    tv2 = geometry.take_rows(
+        tri_v, jnp.stack([t_of, jnp.maximum(A, 0)], -1)
+    )  # [B, 2, 3]: P=(s,v1,v2), cA=(s,v2,v0)
+    pid4 = jnp.stack(
+        [tv2[:, 0, 0], tv2[:, 1, 2], tv2[:, 0, 1], tv2[:, 0, 2]], -1
+    )  # (s, v0, v1, v2)
+    p4 = geometry.take_rows(pts, pid4)  # [B, 4, 2]
+    s_pt, v0_pt, v1_pt, v2_pt = (
+        p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
+    )
+    a0 = robust.orient2d_ds(s_pt, v0_pt, q)
+    a1 = robust.orient2d_ds(s_pt, v1_pt, q)
+    a2 = robust.orient2d_ds(s_pt, v2_pt, q)
+    # Child-P orientation carries the parent's orientation sign (s is
+    # interior); a CW parent flips every sector test.
+    D = robust.orient2d_ds(s_pt, v1_pt, v2_pt)
+    o = jnp.where(D < 0, -1.0, 1.0).astype(a0.dtype)
+    b0, b1, b2 = a0 * o, a1 * o, a2 * o
+    in_A = (b2 >= 0) & (b0 < 0)
+    in_B = (b0 >= 0) & (b1 < 0)
+    return jnp.where(in_A, A, jnp.where(in_B, B, t_of))
+
+
+def _assign_flip_side(pts, tri_v, partner_map, t_of, q):
+    """Post-flip side selection: one side-of-new-diagonal test.
+
+    Both rewritten rows of an executed flip hold the new diagonal in
+    slots (0, 1) — see _match_and_flip — so membership is the sign of
+    ``orient(e, c, q)`` against each apex's side: 3 compensated
+    predicates per site instead of the generic 8.
+    """
+    # Two batched gathers, as in _assign_split_child.
+    u = partner_map[t_of]
+    us = jnp.maximum(u, 0)
+    tv2 = geometry.take_rows(
+        tri_v, jnp.stack([t_of, us], -1)
+    )  # [B, 2, 3]: t=(e,c,apex_t), u=(e,c,apex_u)
+    pid4 = jnp.stack(
+        [tv2[:, 0, 0], tv2[:, 0, 1], tv2[:, 0, 2], tv2[:, 1, 2]], -1
+    )
+    p4 = geometry.take_rows(pts, pid4)  # [B, 4, 2]
+    e_pt, c_pt, at_pt, au_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
+    dq = robust.orient2d_ds(e_pt, c_pt, q)
+    dt = robust.orient2d_ds(e_pt, c_pt, at_pt)
+    du = robust.orient2d_ds(e_pt, c_pt, au_pt)
+    # On-diagonal ties (dq == 0) and degenerate apexes keep t.
+    take_u = (dq * du > 0) & ~(dq * dt > 0)
+    return jnp.where(take_u, us, t_of)
 
 
 def _circumcircles(pts, tri_v):
@@ -234,13 +279,10 @@ def _split_round(pts, st: BuildState) -> BuildState:
     # 4. Re-locate uninserted sites whose leaf split; retire claimed.
     t_of = jnp.where(site_tri >= 0, site_tri, 0)
     needs = (site_tri >= 0) & has[t_of]
-    cand = jnp.stack(
-        [t_of, cA[t_of], cB[t_of]], -1
-    )  # [N, 3] candidate children
     q = pts[site_ids + 3]
-    minw = _min_weight(pts, tri_v, cand, q[:, None, :])  # [N, 3]
-    best = jnp.argmax(minw, axis=-1)
-    new_tri = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+    new_tri = _assign_split_child(
+        pts, tri_v, jnp.stack([cA, cB], -1), jnp.where(needs, t_of, 0), q
+    )
     site_tri = jnp.where(needs, new_tri, site_tri)
     claimed = (site_tri >= 0) & (claim[t_of] == site_ids) & has[t_of]
     site_tri = jnp.where(claimed, -1, site_tri)
@@ -290,8 +332,11 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     far3 = jnp.take_along_axis(
         geometry.take_rows(tri_v, uu3), slot[..., None], -1
     )[..., 0]
-    fq3 = geometry.take_rows(pts, far3)           # [R, 3, 2]
-    apex3 = geometry.take_rows(pts, tv)           # [R, 3, 2]
+    # Apex + far coordinates in ONE point gather (kernel-count).
+    p6 = geometry.take_rows(
+        pts, jnp.concatenate([tv, far3], axis=1)
+    )  # [R, 6, 2]
+    apex3, fq3 = p6[:, :3], p6[:, 3:]
     p1_id = jnp.roll(tv, -1, axis=1)
     p2_id = jnp.roll(tv, -2, axis=1)
     # p1/p2 coordinates are rolls of the already-gathered apex rows —
@@ -332,8 +377,10 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
 def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     """Mutual-minimum matching + in-place execution of the matched flips.
 
-    Returns the rewritten arrays plus ``(flip_partner [M], do [R],
-    u_ids [R], (Np, Nq, Up, Uq) [R] neighbor ids, any_flip)``.
+    Returns ``(tri_v, tri_n, cc, flip_partner [M], rep [6*Rf],
+    repv [6*Rf], any_flip)`` — the rewritten arrays, the EXECUTED-pair
+    partner map, the possibly-stale rows for neighbor repair (+ validity
+    mask), and the progress flag.
     """
     M = tri_v.shape[0]
     rs = jnp.where(rvalid, rows, 0)
@@ -358,20 +405,13 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     # Cap executed flips at R//4 (deferring the overflow pairs — they
     # stay candidates and re-match next round), then COMPACT the executed
     # set: everything below — slot search, rewrites, repair rows, the
-    # circumcircle refresh — runs on [Rf] rows instead of [R].  Typical
-    # rounds execute well under the cap.  Unexecuted mutual pairs remain
-    # in flip_partner; downstream consumers (repair owner-search, site
-    # relocation) are no-ops for unchanged pairs, so the over-marking is
-    # harmless.
+    # circumcircle refresh, the partner map — runs on [Rf] rows instead
+    # of [R].  Typical rounds execute well under the cap.
     R = do.shape[0]
     Rf = max(R // 4, 64)
     frank = jnp.cumsum(do.astype(jnp.int32)) - 1
     do = do & (frank < Rf)
     any_flip = jnp.any(do)
-    # flip_partner over the global id space, for repair + relocation
-    flip_partner = jnp.full(M, -1, jnp.int32).at[
-        jnp.where(mutual & rvalid, rs, M + 1)
-    ].set(pick_safe, mode="drop")
 
     fidx = jnp.full(Rf + 1, -1, jnp.int32).at[
         jnp.where(do, frank, Rf)
@@ -402,22 +442,40 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     Up = jnp.take_along_axis(unn, p_in_u[:, None], -1)[:, 0]
     Uq = jnp.take_along_axis(unn, q_in_u[:, None], -1)[:, 0]
 
-    rows_t = jnp.where(fvalid, ts, M + 1)
-    rows_u = jnp.where(fvalid, us, M + 1)
-    new_tv = tri_v.at[rows_t].set(
-        jnp.stack([e, c, qv], -1), mode="drop"
-    ).at[rows_u].set(jnp.stack([e, c, pv], -1), mode="drop")
     # T1=(e,c,q): slot0 opp e -> face {c,q} = old t's face opp p -> Np;
     # slot1 opp c -> face {e,q} = old u's face opp p -> Up; slot2 -> u.
     # T2=(e,c,p): slot0 -> Nq (t's face opp q); slot1 -> Uq; slot2 -> t.
-    new_tn = tri_n.at[rows_t].set(
-        jnp.stack([Np, Up, us], -1), mode="drop"
-    ).at[rows_u].set(jnp.stack([Nq, Uq, ts], -1), mode="drop")
+    # One scatter per array: t and u rows are distinct.
+    rows_tu = jnp.where(
+        jnp.concatenate([fvalid, fvalid]),
+        jnp.concatenate([ts, us]),
+        M + 1,
+    )
+    new_tv = tri_v.at[rows_tu].set(
+        jnp.concatenate(
+            [jnp.stack([e, c, qv], -1), jnp.stack([e, c, pv], -1)]
+        ),
+        mode="drop",
+    )
+    new_tn = tri_n.at[rows_tu].set(
+        jnp.concatenate(
+            [jnp.stack([Np, Up, us], -1), jnp.stack([Nq, Uq, ts], -1)]
+        ),
+        mode="drop",
+    )
 
     # Refresh circumcircle cache for rewritten pairs.
     rows2 = jnp.concatenate([ts, us])
     cc = _cc_update(
         cc, pts, new_tv, rows2, jnp.concatenate([fvalid, fvalid]), M
+    )
+    # EXECUTED-only partner map over the global id space, for repair and
+    # site relocation.  (Matched-but-deferred pairs are excluded: their
+    # geometry is unchanged, so repairing or relocating around them is
+    # pure waste — and the post-flip slot layout the relocation decider
+    # relies on doesn't hold for them.)
+    flip_partner = jnp.full(M, -1, jnp.int32).at[rows_tu].set(
+        jnp.concatenate([us, ts]), mode="drop"
     )
     # Rows whose neighbor pointers may now be stale: the pair + its four
     # outer neighbors.
@@ -441,17 +499,16 @@ def _flip_round(pts, carry, relocate=True):
     new_tn = _repair_after_flip(new_tv, new_tn, flip_partner)
 
     if relocate:
-        # Re-locate sites straddling a flipped pair (insert phase only;
+        # Re-locate sites straddling an executed flip (insert phase only;
         # cleanup runs with n_left == 0, where this [N]-sized pass is
         # pure waste).
         site_ids = jnp.arange(N, dtype=jnp.int32)
         t_of = jnp.where(site_tri >= 0, site_tri, 0)
         in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
-        cand = jnp.stack([t_of, flip_partner[t_of]], -1)
         q = pts[site_ids + 3]
-        minw = _min_weight(pts, new_tv, cand, q[:, None, :])
-        best = jnp.argmax(minw, axis=-1)
-        new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        new_t = _assign_flip_side(
+            pts, new_tv, flip_partner, jnp.where(in_flipped, t_of, 0), q
+        )
         site_tri = jnp.where(in_flipped, new_t, site_tri)
 
     return (new_tv, new_tn, cc, n_tris, site_tri, any_flip)
@@ -551,6 +608,7 @@ def build_2d_chunked(
     ladder_factor: int = 8,
     r_compact: int = 524288,
     r_site: int = 262144,
+    r_tail: int = 262144,
     sweep_rounds: int = 24,
 ):
     """Host-orchestrated CAPACITY-STAGED build: short device executions
@@ -589,13 +647,19 @@ def build_2d_chunked(
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
     full_m = 2 * N + 3
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def k_rounds(pts, st, dirty, k):
+    @functools.partial(
+        jax.jit, static_argnums=(4, 5), donate_argnums=(1, 2)
+    )
+    def k_rounds(pts, st, dirty, k, R, rsite):
         # k is a traced operand (not static): every batch size shares ONE
         # compiled program — compile via the axon tunnel costs ~50x
         # execution, so program count matters more than loop-bound folding.
+        # R and rsite (static) size the compacted workspaces: the host
+        # drops to a small-R variant for the coupon-collector tail, where
+        # a big fixed workspace would dominate the per-round cost, and
+        # uses ONE big relocation chunk in the bulge (per-kernel overhead
+        # dwarfs per-element cost, so 1 chunk of 1M beats 4 of 256k).
         M = st.tri_v.shape[0]
-        R = min(r_compact, M)
 
         def cond(c):
             st, dirty, it, progress = c
@@ -604,12 +668,12 @@ def build_2d_chunked(
         def body(c):
             st, dirty, it, _progress = c
             st, dirty, n_new = _split_round_compact(
-                pts, st, dirty, R, r_site
+                pts, st, dirty, R, rsite
             )
             tri_v, tri_n, cc, dirty, _, _, site_tri = _flip_sweep_compact(
                 pts, st.tri_v, st.tri_n, st.cc, dirty,
                 R, jnp.int32(flips_per_round),
-                site_tri=st.site_tri, r_site=r_site,
+                site_tri=st.site_tri, r_site=rsite,
             )
             st = BuildState(
                 tri_v, tri_n, cc, st.n_tris, site_tri, st.n_left
@@ -671,16 +735,28 @@ def build_2d_chunked(
             st, dirty = grow(pts, st, dirty, new_cap)
             cap_now = new_cap
             config.log.info("build: grow capacity -> %d", cap_now)
-        # Rounds until this capacity fills: growth is <= x3 per round.
-        # Once capacity can hold every remaining site, batch the whole
-        # coupon-collector tail (same-leaf groups insert one per round)
-        # into single dispatches — rounds self-terminate at n_left == 0.
-        if (cap_now - n_tris) // 2 >= n_left:
-            k = 16
+        # Workspace rung + batch size.  Claims per round are bounded by
+        # min(n_left, n_tris), so the growth phase (n_tris tiny) and the
+        # coupon-collector tail (n_left tiny) both run on the small rung;
+        # only the mid-build bulge needs the big workspace.  Claims beyond
+        # a rung defer harmlessly to the next round.
+        small = max(r_tail // 8, 4096)
+        target = min(n_left, n_tris)
+        r_round = min(small if target <= small else r_compact, cap_now)
+        if target <= small and n_tris < small:
+            # growth phase: rounds until claims could overflow the rung
+            k = max(1, int(_math.log(max(small / max(n_tris, 1), 3), 3)))
         else:
-            k = max(1, int(_math.log(max(cap_now / max(n_tris, 1), 3), 3)))
+            k = 16
+        # Relocation chunk: one chunk covering every remaining site while
+        # many are affected per round; a small chunk once few are.
+        rsite_round = 1 << 16 if n_left <= (1 << 16) else min(
+            max(r_site, 1 << (max(n_left - 1, 1)).bit_length()), 1 << 21
+        )
         td = _time.perf_counter()
-        st, dirty = k_rounds(pts, st, dirty, jnp.int32(k))
+        st, dirty = k_rounds(
+            pts, st, dirty, jnp.int32(k), r_round, rsite_round
+        )
         n_left = int(st.n_left)  # forces the sync; count it in the wall
         rounds += k
         config.log.info(
@@ -696,9 +772,15 @@ def build_2d_chunked(
     # Dirty-compacted cleanup, continuing from the insert rounds' carried
     # dirty set (the non-dirty remainder is already locally Delaunay).
     tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
-    R = min(r_compact, full_m)
+    nd = full_m  # upper bound; refined by each dispatch's readback
     swept = 0
     while True:
+        # Rung descent: once the dirty set collapses, small workspaces
+        # cut the per-round floor (predicates/gathers are [R]-sized).
+        R = min(
+            max(r_tail // 8, 4096) if nd <= r_tail // 8 else r_compact,
+            full_m,
+        )
         tri_v, tri_n, cc, dirty, used, nd, _ = sweep(
             pts, tri_v, tri_n, cc, dirty, R, jnp.int32(sweep_rounds)
         )
@@ -828,15 +910,17 @@ def triangulate(
 
 
 def _owner_of_face(tri_v, cands, a, b):
-    """Among candidate triangle ids [., C], the first containing verts a,b."""
-    cv = geometry.take_rows(tri_v, cands)  # [., C, 3]
-    has_a = jnp.any(cv == a[:, None, None], axis=-1)
-    has_b = jnp.any(cv == b[:, None, None], axis=-1)
+    """Among candidate triangle ids [..., C], the first containing verts
+    a, b (shapes [...]).  One batched gather for any leading shape —
+    callers fold their per-face loops into the leading dims."""
+    cv = geometry.take_rows(tri_v, cands)  # [..., C, 3]
+    has_a = jnp.any(cv == a[..., None, None], axis=-1)
+    has_b = jnp.any(cv == b[..., None, None], axis=-1)
     okc = has_a & has_b & (cands >= 0)
     idx = jnp.argmax(okc, axis=-1)
     found = jnp.any(okc, axis=-1)
-    owner = jnp.take_along_axis(cands, idx[:, None], -1)[:, 0]
-    return jnp.where(found, owner, cands[:, 0])
+    owner = jnp.take_along_axis(cands, idx[..., None], -1)[..., 0]
+    return jnp.where(found, owner, cands[..., 0])
 
 
 def _repair_after_split(tri_v, tri_n, split_flag, cA, cB, n_tris):
@@ -882,31 +966,30 @@ def _repair_rows(tri_v, tri_n, flip_partner, rrows, rvalid):
     rs = jnp.where(rvalid, rrows, 0)
     tvr = geometry.take_rows(tri_v, rs)
     tnr = geometry.take_rows(tri_n, rs)
-    out = tnr
-    for m in range(3):
-        n = tnr[:, m]
-        stale = rvalid & (n >= 0) & (
-            flip_partner[jnp.where(n >= 0, n, 0)] >= 0
-        )
-        ns = jnp.where(stale, n, 0)
-        a = tvr[:, (m + 1) % 3]
-        b = tvr[:, (m + 2) % 3]
-        cands = jnp.stack([ns, flip_partner[ns]], -1)
-        owner = _owner_of_face(tri_v, cands, a, b)
-        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    # All 3 faces in ONE batched owner search (kernel-count discipline).
+    stale = rvalid[:, None] & (tnr >= 0) & (
+        flip_partner[jnp.where(tnr >= 0, tnr, 0)] >= 0
+    )
+    ns = jnp.where(stale, tnr, 0)  # [B, 3]
+    a = jnp.roll(tvr, -1, axis=1)
+    b = jnp.roll(tvr, -2, axis=1)
+    cands = jnp.stack([ns, flip_partner[ns]], -1)  # [B, 3, 2]
+    owner = _owner_of_face(tri_v, cands, a, b)
+    out = jnp.where(stale, owner, tnr)
     return tri_n.at[jnp.where(rvalid, rrows, M + 1)].set(out, mode="drop")
 
 
-def _relocate_sites_chunked(pts, tri_v, site_tri, affected, cand_of, r_site):
-    """Re-locate the affected sites among their candidate triangles.
+def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
+    """Re-locate the affected sites via the given decision rule.
 
-    The dense rounds re-evaluate ``_min_weight`` for every one of N sites
+    The dense rounds re-evaluate containment for every one of N sites
     every round (masked); here the affected ids are prefix-compacted and
     processed in ``r_site``-sized chunks inside a while_loop, so the work
     tracks the actual affected count (all of N early, a handful late).
 
-    ``cand_of(t_of) -> [B, C]`` supplies each site's candidate triangles
-    from its current containing triangle.
+    ``decide(t_of [B], q [B, 2]) -> [B]`` maps each site's stale
+    containing-triangle id to its new one (a specialized sector /
+    side-of-diagonal test — see _assign_split_child, _assign_flip_side).
     """
     N = site_tri.shape[0]
     site_ids = jnp.arange(N, dtype=jnp.int32)
@@ -922,11 +1005,8 @@ def _relocate_sites_chunked(pts, tri_v, site_tri, affected, cand_of, r_site):
         valid = (ci * r_site + jnp.arange(r_site, dtype=jnp.int32)) < cnt
         sb = jnp.where(valid, sb, 0)
         t_of = jnp.where(valid, site_tri[sb], 0)
-        cand = cand_of(t_of)
         q = geometry.take_rows(pts, sb + 3)
-        minw = _min_weight(pts, tri_v, cand, q[:, None, :])
-        best = jnp.argmax(minw, axis=-1)
-        new_t = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+        new_t = decide(t_of, q)
         site_tri = site_tri.at[jnp.where(valid, sb, N + 1)].set(
             new_t, mode="drop"
         )
@@ -977,42 +1057,63 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
     v0, v1, v2 = tvr[:, 0], tvr[:, 1], tvr[:, 2]
     n0, n1, n2 = tnr[:, 0], tnr[:, 1], tnr[:, 2]
 
-    def scat(arr, rows, vals):
-        rows = jnp.where(pvalid, rows, M + 1)
-        return arr.at[rows].set(vals, mode="drop")
-
     # Child in parent slot keeps face 0 (old n0); cA gets n1; cB gets n2.
-    tri_v = scat(tri_v, ps, jnp.stack([s_pid, v1, v2], -1))
-    tri_n = scat(tri_n, ps, jnp.stack([n0, ca, cb], -1))
-    tri_v = scat(tri_v, ca, jnp.stack([s_pid, v2, v0], -1))
-    tri_n = scat(tri_n, ca, jnp.stack([n1, cb, ps], -1))
-    tri_v = scat(tri_v, cb, jnp.stack([s_pid, v0, v1], -1))
-    tri_n = scat(tri_n, cb, jnp.stack([n2, ps, ca], -1))
+    # ONE scatter per destination array (kernel-count discipline): the
+    # three child rows are disjoint by construction.
+    rows9 = jnp.where(
+        jnp.concatenate([pvalid] * 3),
+        jnp.concatenate([ps, ca, cb]),
+        M + 1,
+    )
+    tri_v = tri_v.at[rows9].set(
+        jnp.concatenate(
+            [
+                jnp.stack([s_pid, v1, v2], -1),
+                jnp.stack([s_pid, v2, v0], -1),
+                jnp.stack([s_pid, v0, v1], -1),
+            ]
+        ),
+        mode="drop",
+    )
+    tri_n = tri_n.at[rows9].set(
+        jnp.concatenate(
+            [
+                jnp.stack([n0, ca, cb], -1),
+                jnp.stack([n1, cb, ps], -1),
+                jnp.stack([n2, ps, ca], -1),
+            ]
+        ),
+        mode="drop",
+    )
     n_new = jnp.sum(pvalid.astype(jnp.int32))
     n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
 
     # 3. Split maps + compacted neighbor repair (children may copy stale
     # pointers at neighbors that split this round; neighbors' pointers at
-    # a split parent re-resolve among its three children).
+    # a split parent re-resolve among its three children).  Both maps in
+    # one [M, 2] scatter; all 3 faces of all 6R rows in one owner search.
     rows_p = jnp.where(pvalid, prow, M + 1)
-    cA_map = jnp.full(M, -1, jnp.int32).at[rows_p].set(ca, mode="drop")
-    cB_map = jnp.full(M, -1, jnp.int32).at[rows_p].set(cb, mode="drop")
+    cAB_map = jnp.full((M, 2), -1, jnp.int32).at[rows_p].set(
+        jnp.stack([ca, cb], -1), mode="drop"
+    )
+    cA_map, cB_map = cAB_map[:, 0], cAB_map[:, 1]
     split_flag = cA_map >= 0
     rep = jnp.concatenate([ps, ca, cb, n0, n1, n2])
     repv = jnp.concatenate([pvalid] * 6) & (rep >= 0)
     rs = jnp.where(repv, rep, 0)
     tvr6 = geometry.take_rows(tri_v, rs)
     tnr6 = geometry.take_rows(tri_n, rs)
-    out = tnr6
-    for m in range(3):
-        n = tnr6[:, m]
-        stale = repv & (n >= 0) & split_flag[jnp.where(n >= 0, n, 0)]
-        ns = jnp.where(stale, n, 0)
-        a = tvr6[:, (m + 1) % 3]
-        b = tvr6[:, (m + 2) % 3]
-        cands = jnp.stack([ns, cA_map[ns], cB_map[ns]], -1)
-        owner = _owner_of_face(tri_v, cands, a, b)
-        out = out.at[:, m].set(jnp.where(stale, owner, n))
+    stale = repv[:, None] & (tnr6 >= 0) & split_flag[
+        jnp.where(tnr6 >= 0, tnr6, 0)
+    ]
+    ns = jnp.where(stale, tnr6, 0)  # [6R, 3]
+    a = jnp.roll(tvr6, -1, axis=1)
+    b = jnp.roll(tvr6, -2, axis=1)
+    cands = jnp.concatenate(
+        [ns[..., None], geometry.take_rows(cAB_map, ns)], -1
+    )  # [6R, 3, 3]
+    owner = _owner_of_face(tri_v, cands, a, b)
+    out = jnp.where(stale, owner, tnr6)
     tri_n = tri_n.at[jnp.where(repv, rep, M + 1)].set(out, mode="drop")
 
     # 4. Circumcircle cache for the 3 children of every split.
@@ -1026,10 +1127,9 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
     needs = (site_tri >= 0) & split_flag[t_of]
     site_tri = _relocate_sites_chunked(
         pts,
-        tri_v,
         site_tri,
         needs,
-        lambda t: jnp.stack([t, cA_map[t], cB_map[t]], -1),
+        lambda t, q: _assign_split_child(pts, tri_v, cAB_map, t, q),
         r_site,
     )
     claimed = needs & (claim[t_of] == site_ids)
@@ -1100,12 +1200,12 @@ def _flip_sweep_compact(
         if relocate:
             t_of = jnp.where(site_tri >= 0, site_tri, 0)
             affected = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+            tv_now = tri_v
             site_tri = _relocate_sites_chunked(
                 pts,
-                tri_v,
                 site_tri,
                 affected,
-                lambda t: jnp.stack([t, flip_partner[t]], -1),
+                lambda t, q: _assign_flip_side(pts, tv_now, flip_partner, t, q),
                 r_site,
             )
         # Progress = a flip executed OR the dirty set shrank (a cleaning

@@ -38,6 +38,7 @@ range).  Use ``DeviceTriangulation.cast`` to pick the trade-off.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -267,6 +268,62 @@ def freeze(tree, grid_res: int = 64) -> DeviceTriangulation:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _freeze_device_2d(
+    points_raw, shift, scale, tri_v, tri_n, alive, n_alive: int, grid_res: int
+):
+    """Device-side freeze: compaction, neighbor remap, bucket grid.
+
+    The host freeze pulls the [2N+3, 3] build arrays through the
+    device->host tunnel (~10s at 1M sites); everything it does is
+    scatter/gather, so at scale it runs on device instead.  ``n_alive``
+    is static — for a completed 2D build it is exactly 2*n_sites + 1.
+    """
+    M = tri_v.shape[0]
+    kidx = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    arange_m = jnp.arange(M, dtype=jnp.int32)
+    rows = jnp.zeros(n_alive + 1, jnp.int32).at[
+        jnp.where(alive, kidx, n_alive)
+    ].set(arange_m, mode="drop")[:n_alive]
+    remap = jnp.concatenate(
+        [jnp.where(alive, kidx, -1), jnp.full(1, -1, jnp.int32)]
+    )
+    tv = tri_v[rows]
+    tn_old = tri_n[rows]
+    tn = remap[jnp.where(tn_old >= 0, tn_old, M).reshape(-1)].reshape(
+        n_alive, 3
+    )
+    pts_std = scale * (points_raw - shift)
+    # Bucket grid: seed cells with triangle centroids, dilate to fill.
+    centroids = geometry.take_rows(pts_std, tv).mean(axis=1)
+    cells = jnp.clip(
+        ((centroids + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
+    )
+    g = jnp.full(grid_res * grid_res, -1, jnp.int32).at[
+        cells[:, 0] * grid_res + cells[:, 1]
+    ].set(jnp.arange(n_alive, dtype=jnp.int32)).reshape(
+        grid_res, grid_res
+    )
+
+    def dil_body(g):
+        ng = g
+        for ax in (0, 1):
+            for s in (1, -1):
+                cand = jnp.roll(g, s, axis=ax)  # wraps: mask the edge
+                edge = 0 if s == 1 else grid_res - 1
+                cand = (
+                    cand.at[edge, :].set(-1)
+                    if ax == 0
+                    else cand.at[:, edge].set(-1)
+                )
+                ng = jnp.where(ng < 0, cand, ng)
+        return ng
+
+    g = jax.lax.while_loop(lambda g: jnp.any(g < 0), dil_body, g)
+    aff = affine_maps(points_raw, tv, scale, shift=shift)
+    return pts_std, tv, tn, aff, g
+
+
 def from_arrays(
     points_raw: np.ndarray,
     shift,
@@ -275,12 +332,40 @@ def from_arrays(
     tri_n: np.ndarray,
     alive: np.ndarray,
     grid_res: int = 256,
+    device_freeze_min: int = 200_000,
 ) -> DeviceTriangulation:
     """Assemble a DeviceTriangulation from build arrays (device build path).
 
     Compacts to alive simplexes and remaps neighbor ids; computes affine
     maps and the bucket grid.  ``points_raw`` rows 0..d are the cage.
+    At scale (>= ``device_freeze_min`` slots, 2D, arrays already on
+    device) the whole assembly runs on device via
+    :func:`_freeze_device_2d`.
     """
+    if (
+        isinstance(tri_v, jax.Array)
+        and tri_v.shape[1] == 3
+        and tri_v.shape[0] >= device_freeze_min
+    ):
+        dtype = jnp.zeros(0).dtype  # canonical default float
+        raw_dev = jnp.asarray(np.asarray(points_raw, np.float64), dtype)
+        sh = jnp.asarray(np.asarray(shift, np.float64), dtype)
+        sc = jnp.asarray(np.asarray(scale, np.float64), dtype)
+        n_alive = int(jnp.sum(alive.astype(jnp.int32)))
+        pts_std, tv, tn, aff, g = _freeze_device_2d(
+            raw_dev, sh, sc, tri_v, tri_n, alive, n_alive, grid_res
+        )
+        return DeviceTriangulation(
+            points_raw=raw_dev,
+            points_std=pts_std,
+            tri_verts=tv,
+            tri_nbrs=tn,
+            affine=aff,
+            shift=sh,
+            scale=sc,
+            grid_tri=g,
+            grid_res=grid_res,
+        )
     points_raw = np.asarray(points_raw, np.float64)
     tri_v = np.asarray(tri_v)
     tri_n = np.asarray(tri_n)

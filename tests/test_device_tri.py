@@ -42,6 +42,63 @@ class TestFreeze:
         assert g.shape == (64, 64)
         assert (g >= 0).all() and (g < tri.n_tris).all()
 
+    def test_device_freeze_matches_host_freeze(self):
+        # The at-scale device-side freeze (compaction + remap + grid on
+        # device) must agree with the host assembly.
+        from gsl_scattered_interpolation_tpu.models import (
+            device_delaunay as dd,
+        )
+        from gsl_scattered_interpolation_tpu.ops import geometry
+
+        rng = np.random.default_rng(21)
+        sites = jnp.asarray(rng.uniform(-0.5, 0.5, (400, 2)))
+        cage = jnp.asarray(
+            geometry.cage_vertices(2, np.zeros(2), np.ones(2), np.float64)
+        )
+        tv, tn, alive, _ = jax.jit(dd.build_2d)(
+            sites, cage, n_real=jnp.int32(400)
+        )
+        raw = np.concatenate(
+            [
+                np.asarray(
+                    geometry.cage_vertices(
+                        2, np.zeros(2), np.ones(2), np.float64
+                    )
+                ),
+                np.asarray(sites),
+            ]
+        )
+        host = dt.from_arrays(
+            raw, np.zeros(2), np.ones(2), tv, tn, alive, grid_res=32
+        )
+        dev = dt.from_arrays(
+            raw, np.zeros(2), np.ones(2), tv, tn, alive, grid_res=32,
+            device_freeze_min=1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(host.tri_verts), np.asarray(dev.tri_verts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(host.tri_nbrs), np.asarray(dev.tri_nbrs)
+        )
+        # same math, but jit fusion reorders ops vs the eager host path
+        np.testing.assert_allclose(
+            np.asarray(host.affine), np.asarray(dev.affine),
+            rtol=1e-9, atol=1e-9,
+        )
+        g = np.asarray(dev.grid_tri)
+        assert (g >= 0).all() and (g < dev.n_tris).all()
+        # Functional equivalence of the query path (grids may pick
+        # different — equally valid — walk starts).
+        rng2 = np.random.default_rng(3)
+        Q = jnp.asarray(rng2.uniform(-0.45, 0.45, (500, 2)))
+        resp = jnp.asarray(
+            np.concatenate([np.zeros(3), rng.normal(size=400)])
+        )
+        va = np.asarray(dt.interp(host, resp, Q))
+        vb = np.asarray(dt.interp(dev, resp, Q))
+        np.testing.assert_allclose(va, vb, atol=1e-12)
+
 
 class TestLocate:
     def test_matches_host_find_leaf(self, weather_pair):
