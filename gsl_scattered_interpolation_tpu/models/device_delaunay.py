@@ -68,7 +68,7 @@ def bucket_size(n: int, floor: int = 256) -> int:
 class BuildState(NamedTuple):
     tri_v: jax.Array     # [M, 3] int32 vertex ids (-1 rows = unallocated)
     tri_n: jax.Array     # [M, 3] int32 neighbor ids, -1 = boundary
-    cc: jax.Array        # [M, 4] cached circumcircles: (cx, cy, r2, ok)
+    cc: jax.Array        # [M, 2] triangle meta cache: (ok, vsum)
     n_tris: jax.Array    # scalar int32: allocated slots
     site_tri: jax.Array  # [N] int32: containing leaf per site; -1 = inserted
     n_left: jax.Array    # scalar int32: uninserted site count
@@ -138,24 +138,24 @@ def _assign_split_child(pts, tri_v, cAB_map, t_of, q):
     return jnp.where(in_A, A, jnp.where(in_B, B, t_of))
 
 
-def _assign_flip_side(pts, tri_v, partner_map, t_of, q):
+def _assign_flip_side(pts, tri_v, flip_info, t_of, q):
     """Post-flip side selection: one side-of-new-diagonal test.
 
     Both rewritten rows of an executed flip hold the new diagonal in
     slots (0, 1) — see _match_and_flip — so membership is the sign of
     ``orient(e, c, q)`` against each apex's side: 3 compensated
-    predicates per site instead of the generic 8.
+    predicates per site instead of the generic 8.  Three batched
+    gathers: the (partner, apexes) info row, t's vertex row (for the
+    diagonal ids), and the four point rows together.
     """
-    # Two batched gathers, as in _assign_split_child.
-    u = partner_map[t_of]
-    us = jnp.maximum(u, 0)
-    tv2 = geometry.take_rows(
-        tri_v, jnp.stack([t_of, us], -1)
-    )  # [B, 2, 3]: t=(e,c,apex_t), u=(e,c,apex_u)
+    info = geometry.take_rows(flip_info, t_of)  # [B, 3]
+    us = jnp.maximum(info[:, 0], 0)
+    tvt = geometry.take_rows(tri_v, t_of)  # (e, c, apex_t)
     pid4 = jnp.stack(
-        [tv2[:, 0, 0], tv2[:, 0, 1], tv2[:, 0, 2], tv2[:, 1, 2]], -1
+        [tvt[:, 0], tvt[:, 1], info[:, 1], jnp.maximum(info[:, 2], 0)],
+        -1,
     )
-    p4 = geometry.take_rows(pts, pid4)  # [B, 4, 2]
+    p4 = geometry.take_rows(pts, jnp.maximum(pid4, 0))  # [B, 4, 2]
     e_pt, c_pt, at_pt, au_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
     dq = robust.orient2d_ds(e_pt, c_pt, q)
     dt = robust.orient2d_ds(e_pt, c_pt, at_pt)
@@ -165,23 +165,25 @@ def _assign_flip_side(pts, tri_v, partner_map, t_of, q):
     return jnp.where(take_u, us, t_of)
 
 
-def _circumcircles(pts, tri_v):
-    """Centers/r2 of all triangle slots; degenerate -> ok False."""
-    return geometry.circumsphere(geometry.take_rows(pts, tri_v))
-
-
 def _cc_update(cc, pts, tri_v, rows, rows_valid, M):
-    """Recompute cached circumcircles for the given row ids (scatter-drop).
+    """Refresh the per-triangle metadata cache for the given rows.
 
-    Only rows touched by a split/flip are refreshed — the flip loop reads
-    everything else from cache, turning the O(M)-per-sub-round recompute
-    into O(#changed).
+    The cache row is [ok, vsum]: ``ok`` marks a non-degenerate triangle
+    (compensated orientation != 0 — exactly the condition under which the
+    reference's circumcircle solve is singular, linear_simplex.c:517-521),
+    and ``vsum`` is the VERTEX-ID SUM (exact in f32 for ids < 2^24): the
+    flip candidate pass needs each neighbor's far vertex, and
+    ``far = vsum(u) - shared_a - shared_b`` turns two [R,3,3] gathers +
+    a slot search into a column of a gather it already performs.  Only
+    rows touched by a split/flip are refreshed — O(#changed), not O(M).
     """
     safe = jnp.where(rows_valid, rows, 0)
-    center, r2, ok = geometry.circumsphere(geometry.take_rows(pts, tri_v[safe]))
-    packed = jnp.concatenate(
-        [center, r2[:, None], ok[:, None].astype(center.dtype)], axis=-1
-    )
+    tv_rows = tri_v[safe]
+    verts = geometry.take_rows(pts, tv_rows)  # [K, 3, 2]
+    D = robust.orient2d_ds(verts[:, 0], verts[:, 1], verts[:, 2])
+    ok = (D != 0).astype(cc.dtype)
+    vsum = jnp.sum(tv_rows, axis=-1).astype(cc.dtype)
+    packed = jnp.stack([ok, vsum], axis=-1)
     tgt = jnp.where(rows_valid, rows, M + 1)
     return cc.at[tgt].set(packed, mode="drop")
 
@@ -205,7 +207,7 @@ def _init_state(
         jnp.arange(3, dtype=jnp.int32)
     )
     tri_n = jnp.full((M, 3), -1, jnp.int32)
-    cc0 = jnp.zeros((M, 4), dtype)
+    cc0 = jnp.zeros((M, 2), dtype)
     cc0 = _cc_update(
         cc0, pts, tri_v, jnp.zeros(1, jnp.int32), jnp.ones(1, bool), M
     )
@@ -320,25 +322,28 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     tv = geometry.take_rows(tri_v, rs)  # [R, 3]
     tn = geometry.take_rows(tri_n, rs)
     alive = rvalid & (tv[:, 0] >= 0)
-    cok = geometry.take_rows(cc, rs)[:, 3] > 0.5
+    cok = geometry.take_rows(cc, rs)[:, 0] > 0.5
 
     u3 = tn  # [R, 3]
     valid3 = alive[:, None] & (u3 >= 0)
     uu3 = jnp.where(valid3, u3, 0)
-    # multi-dim index gathers routed flat (geometry.take_rows): the
-    # dimension-numbers form compiles minutes-slow at 1e6 shapes.
-    back = geometry.take_rows(tri_n, uu3) == rs[:, None, None]
-    slot = jnp.argmax(back, axis=-1)  # [R, 3]
-    far3 = jnp.take_along_axis(
-        geometry.take_rows(tri_v, uu3), slot[..., None], -1
-    )[..., 0]
-    # Apex + far coordinates in ONE point gather (kernel-count).
+    # Neighbor circumcircle rows carry (ok, vsum); the far vertex is
+    # vsum(u) - shared_a - shared_b — no [R,3,3] neighbor-row gathers,
+    # no back-pointer slot search (gathered bytes are the dominant cost
+    # at 1e6 rows; multi-dim index gathers are routed flat via
+    # geometry.take_rows — the dimension-numbers form compiles
+    # minutes-slow at 1e6 shapes).
+    ccu = geometry.take_rows(cc, uu3)  # [R, 3, 2]
+    degen_u = ~(ccu[..., 0] > 0.5)
+    p1_id = jnp.roll(tv, -1, axis=1)
+    p2_id = jnp.roll(tv, -2, axis=1)
+    far3 = ccu[..., 1].astype(jnp.int32) - p1_id - p2_id
+    far3 = jnp.clip(far3, 0, pts.shape[0] - 1)  # garbage rows: masked
+    # Apex + far coordinates in ONE point gather.
     p6 = geometry.take_rows(
         pts, jnp.concatenate([tv, far3], axis=1)
     )  # [R, 6, 2]
     apex3, fq3 = p6[:, :3], p6[:, 3:]
-    p1_id = jnp.roll(tv, -1, axis=1)
-    p2_id = jnp.roll(tv, -2, axis=1)
     # p1/p2 coordinates are rolls of the already-gathered apex rows —
     # global point gathers are the dominant kernel cost at 1e6 rows.
     p1q = jnp.roll(apex3, -1, axis=1)
@@ -351,17 +356,26 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     convex3 = jnp.sign(o1) * jnp.sign(o2) < 0
     # Canonical quad decision.  Cyclic order (apex, p1, far, p2):
     # current diagonal = positions (1,3); flip target = (0,2).
+    # Sort the 4 (id, coord) triples by id with a 5-comparator sorting
+    # network — pure fused selects, replacing an XLA sort + gather.
+    ids = (tv, p1_id, far3, p2_id)
+    xs = (apex3[..., 0], p1q[..., 0], fq3[..., 0], p2q[..., 0])
+    ys = (apex3[..., 1], p1q[..., 1], fq3[..., 1], p2q[..., 1])
+    ids, xs, ys = list(ids), list(xs), list(ys)
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        sw = ids[i] > ids[j]
+        for arr in (ids, xs, ys):
+            lo = jnp.where(sw, arr[j], arr[i])
+            hi = jnp.where(sw, arr[i], arr[j])
+            arr[i], arr[j] = lo, hi
+    sp = [
+        jnp.stack([xs[k], ys[k]], axis=-1) for k in range(4)
+    ]  # 4 x [R, 3, 2], ascending id order
+    O = robust.orient2d_ds(sp[0], sp[1], sp[2])
+    S = robust.incircle_ds(sp[0], sp[1], sp[2], sp[3]) * jnp.sign(O)
+    # Cyclic position of the largest-id vertex in (apex, p1, far, p2).
     quad = jnp.stack([tv, p1_id, far3, p2_id], -1)  # [R, 3, 4] ids
-    order = jnp.argsort(quad, axis=-1)
-    # Sort the COORDINATES with a local 4-way shuffle of the points we
-    # already hold, not a fresh 12R-row global gather.
-    quad_pts = jnp.stack([apex3, p1q, fq3, p2q], 2)  # [R, 3, 4, 2]
-    sp = jnp.take_along_axis(quad_pts, order[..., None], axis=2)
-    O = robust.orient2d_ds(sp[:, :, 0], sp[:, :, 1], sp[:, :, 2])
-    S = robust.incircle_ds(
-        sp[:, :, 0], sp[:, :, 1], sp[:, :, 2], sp[:, :, 3]
-    ) * jnp.sign(O)
-    p3 = order[..., 3]  # cyclic position of the largest-id vertex
+    p3 = jnp.argmax(quad, axis=-1)
     p3_on_flip_diag = (p3 == 0) | (p3 == 2)
     want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
     want = want & (S != 0)
@@ -369,7 +383,6 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     # (linear_simplex.c:517-521): the canonical test with three
     # collinear points is consistent but may elect to keep them.
     degen_t = ~cok[:, None]
-    degen_u = ~(geometry.take_rows(cc, uu3)[..., 3] > 0.5)
     cand_ok = valid3 & convex3 & (want | degen_t | degen_u)
     return tv, tn, cand_ok
 
@@ -377,10 +390,10 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
 def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     """Mutual-minimum matching + in-place execution of the matched flips.
 
-    Returns ``(tri_v, tri_n, cc, flip_partner [M], rep [6*Rf],
+    Returns ``(tri_v, tri_n, cc, flip_info [M, 3], rep [6*Rf],
     repv [6*Rf], any_flip)`` — the rewritten arrays, the EXECUTED-pair
-    partner map, the possibly-stale rows for neighbor repair (+ validity
-    mask), and the progress flag.
+    (partner, own_apex, partner_apex) map, the possibly-stale rows for
+    neighbor repair (+ validity mask), and the progress flag.
     """
     M = tri_v.shape[0]
     rs = jnp.where(rvalid, rows, 0)
@@ -469,19 +482,28 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     cc = _cc_update(
         cc, pts, new_tv, rows2, jnp.concatenate([fvalid, fvalid]), M
     )
-    # EXECUTED-only partner map over the global id space, for repair and
+    # EXECUTED-only flip-info map over the global id space:
+    # (partner, own_apex, partner_apex) per rewritten row, for repair and
     # site relocation.  (Matched-but-deferred pairs are excluded: their
     # geometry is unchanged, so repairing or relocating around them is
     # pure waste — and the post-flip slot layout the relocation decider
-    # relies on doesn't hold for them.)
-    flip_partner = jnp.full(M, -1, jnp.int32).at[rows_tu].set(
-        jnp.concatenate([us, ts]), mode="drop"
+    # relies on doesn't hold for them.)  The apexes drive the repair
+    # rule: a face into the pair contains exactly one of (qv, pv), which
+    # identifies its owner without gathering candidate vertex rows.
+    flip_info = jnp.full((M, 3), -1, jnp.int32).at[rows_tu].set(
+        jnp.concatenate(
+            [
+                jnp.stack([us, qv, pv], -1),
+                jnp.stack([ts, pv, qv], -1),
+            ]
+        ),
+        mode="drop",
     )
     # Rows whose neighbor pointers may now be stale: the pair + its four
     # outer neighbors.
     rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
     repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
-    return new_tv, new_tn, cc, flip_partner, rep, repv, any_flip
+    return new_tv, new_tn, cc, flip_info, rep, repv, any_flip
 
 
 def _flip_round(pts, carry, relocate=True):
@@ -491,12 +513,12 @@ def _flip_round(pts, carry, relocate=True):
     rows = jnp.arange(M, dtype=jnp.int32)
     rvalid = jnp.ones((M,), bool)
     tv, tn, cand_ok = _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid)
-    new_tv, new_tn, cc, flip_partner, _rep, _repv, any_flip = (
+    new_tv, new_tn, cc, flip_info, _rep, _repv, any_flip = (
         _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok)
     )
 
     # Gather-repair stale pointers into flipped triangles.
-    new_tn = _repair_after_flip(new_tv, new_tn, flip_partner)
+    new_tn = _repair_after_flip(new_tv, new_tn, flip_info)
 
     if relocate:
         # Re-locate sites straddling an executed flip (insert phase only;
@@ -504,10 +526,12 @@ def _flip_round(pts, carry, relocate=True):
         # pure waste).
         site_ids = jnp.arange(N, dtype=jnp.int32)
         t_of = jnp.where(site_tri >= 0, site_tri, 0)
-        in_flipped = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+        in_flipped = (site_tri >= 0) & (
+            geometry.take_rows(flip_info, t_of)[:, 0] >= 0
+        )
         q = pts[site_ids + 3]
         new_t = _assign_flip_side(
-            pts, new_tv, flip_partner, jnp.where(in_flipped, t_of, 0), q
+            pts, new_tv, flip_info, jnp.where(in_flipped, t_of, 0), q
         )
         site_tri = jnp.where(in_flipped, new_t, site_tri)
 
@@ -600,6 +624,7 @@ def build_2d_chunked(
     sites_std,
     cage_std,
     flips_per_round: int = 2,
+    splits_per_round: int = 2,
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
@@ -644,7 +669,6 @@ def build_2d_chunked(
     N = sites_std.shape[0]
     n_sites = N if n_real is None else n_real
     dtype = sites_std.dtype
-    pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
     full_m = 2 * N + 3
 
     @functools.partial(
@@ -667,9 +691,22 @@ def build_2d_chunked(
 
         def body(c):
             st, dirty, it, _progress = c
-            st, dirty, n_new = _split_round_compact(
-                pts, st, dirty, R, rsite
-            )
+            # A split round costs ~1/5 of a flip round (claims are per
+            # leaf, so back-to-back splits triple the claimable leaf set
+            # each time); batching several splits per flip block cuts the
+            # dominant flip-round count without touching correctness —
+            # site_tri stays exact through each split's own relocation,
+            # and Delaunay restoration is the sweep's job.
+            # Splits run on a half workspace: typical per-round claims sit
+            # well under R/2, every [R_s]-sized pass halves, and a rare
+            # over-full round just defers claims to the next one.
+            R_s = max(R // 2, 4096)
+            n_new = jnp.int32(0)
+            for _ in range(splits_per_round):
+                st, dirty, n_new_i = _split_round_compact(
+                    pts, st, dirty, R_s, rsite
+                )
+                n_new = n_new + n_new_i
             tri_v, tri_n, cc, dirty, _, _, site_tri = _flip_sweep_compact(
                 pts, st.tri_v, st.tri_n, st.cc, dirty,
                 R, jnp.int32(flips_per_round),
@@ -698,7 +735,7 @@ def build_2d_chunked(
         return BuildState(
             jnp.concatenate([st.tri_v, jnp.full((pad, 3), -1, jnp.int32)]),
             jnp.concatenate([st.tri_n, jnp.full((pad, 3), -1, jnp.int32)]),
-            jnp.concatenate([st.cc, jnp.zeros((pad, 4), st.cc.dtype)]),
+            jnp.concatenate([st.cc, jnp.zeros((pad, 2), st.cc.dtype)]),
             st.n_tris,
             st.site_tri,
             st.n_left,
@@ -710,8 +747,25 @@ def build_2d_chunked(
 
     t_entry = _time.perf_counter()
     cap_now = min(start_cap, full_m)
-    st = _init_state(pts, N, n_real, cap=cap_now)
-    dirty = jnp.zeros(cap_now, bool)
+
+    # One jitted dispatch for pts + state + dirty: each eager op costs
+    # ~0.5s of dispatch latency through the axon tunnel.
+    @functools.partial(jax.jit, static_argnums=(2, 4))
+    def init_all(sites, cage, N, n_real, cap):
+        p = jnp.concatenate([cage.astype(sites.dtype), sites])
+        return (
+            p,
+            _init_state(p, N, n_real, cap=cap),
+            jnp.zeros(cap, bool),
+        )
+
+    pts, st, dirty = init_all(
+        sites_std,
+        cage_std,
+        N,
+        jnp.int32(N if n_real is None else n_real),
+        cap_now,
+    )
     jax.block_until_ready(st.site_tri)
     config.log.info(
         "build: init state %.2fs", _time.perf_counter() - t_entry
@@ -745,7 +799,14 @@ def build_2d_chunked(
         r_round = min(small if target <= small else r_compact, cap_now)
         if target <= small and n_tris < small:
             # growth phase: rounds until claims could overflow the rung
-            k = max(1, int(_math.log(max(small / max(n_tris, 1), 3), 3)))
+            # (triangles grow ~3^splits_per_round per round)
+            k = max(
+                1,
+                int(
+                    _math.log(max(small / max(n_tris, 1), 3), 3)
+                    / max(splits_per_round, 1)
+                ),
+            )
         else:
             k = 16
         # Relocation chunk: one chunk covering every remaining site while
@@ -775,10 +836,13 @@ def build_2d_chunked(
     nd = full_m  # upper bound; refined by each dispatch's readback
     swept = 0
     while True:
-        # Rung descent: once the dirty set collapses, small workspaces
-        # cut the per-round floor (predicates/gathers are [R]-sized).
+        # Rung descent: every [R]-sized pass (predicates, gathers,
+        # matching) scales with the workspace, so track the dirty count
+        # with a pow2 ladder (floor 32k; ~1.5x headroom for transient
+        # re-dirtying inside a dispatch — overflow rows just wait).
         R = min(
-            max(r_tail // 8, 4096) if nd <= r_tail // 8 else r_compact,
+            max(1 << max(int(nd * 1.5) - 1, 1).bit_length(), 32768),
+            r_compact,
             full_m,
         )
         tri_v, tri_n, cc, dirty, used, nd, _ = sweep(
@@ -939,22 +1003,42 @@ def _repair_after_split(tri_v, tri_n, split_flag, cA, cB, n_tris):
     return out
 
 
-def _repair_after_flip(tri_v, tri_n, flip_partner):
-    """Re-resolve neighbor ids pointing at triangles that just flipped."""
-    out = tri_n
-    for m in range(3):
-        n = tri_n[:, m]
-        stale = (n >= 0) & (flip_partner[jnp.where(n >= 0, n, 0)] >= 0)
-        ns = jnp.where(stale, n, 0)
-        a = tri_v[:, (m + 1) % 3]
-        b = tri_v[:, (m + 2) % 3]
-        cands = jnp.stack([ns, flip_partner[ns]], -1)
-        owner = _owner_of_face(tri_v, cands, a, b)
-        out = out.at[:, m].set(jnp.where(stale, owner, n))
-    return out
+def _resolve_flipped_neighbor(tri_n_rows, tri_v_rows, flip_info, valid):
+    """Apex-rule repair of pointers at flipped rows, for [..., 3] rows.
+
+    A face into an executed flip pair (T1=(e,c,qv), T2=(e,c,pv)) contains
+    exactly one of the apexes (qv, pv), which names its owner; the
+    internal diagonal (e,c) contains neither and keeps the pointer.  One
+    [..., 3]-row gather of the (partner, own_apex, partner_apex) map
+    replaces the generic candidate-vertex owner search (~4x less
+    gathered data — the dominant repair cost at 1M scale).
+    """
+    info = geometry.take_rows(
+        flip_info, jnp.where(tri_n_rows >= 0, tri_n_rows, 0)
+    )  # [..., 3, 3]
+    partner, apex_own, apex_par = (
+        info[..., 0], info[..., 1], info[..., 2]
+    )
+    stale = valid & (tri_n_rows >= 0) & (partner >= 0)
+    a = jnp.roll(tri_v_rows, -1, axis=-1)
+    b = jnp.roll(tri_v_rows, -2, axis=-1)
+    owner = jnp.where(
+        (a == apex_own) | (b == apex_own),
+        tri_n_rows,
+        jnp.where((a == apex_par) | (b == apex_par), partner, tri_n_rows),
+    )
+    return jnp.where(stale, owner, tri_n_rows)
 
 
-def _repair_rows(tri_v, tri_n, flip_partner, rrows, rvalid):
+def _repair_after_flip(tri_v, tri_n, flip_info):
+    """Re-resolve neighbor ids pointing at triangles that just flipped
+    (dense all-rows form)."""
+    return _resolve_flipped_neighbor(
+        tri_n, tri_v, flip_info, jnp.ones(tri_n.shape[:-1] + (1,), bool)
+    )
+
+
+def _repair_rows(tri_v, tri_n, flip_info, rrows, rvalid):
     """Like :func:`_repair_after_flip` but only for the listed rows.
 
     After a flip, the only stale neighbor pointers live in the flipped
@@ -966,16 +1050,7 @@ def _repair_rows(tri_v, tri_n, flip_partner, rrows, rvalid):
     rs = jnp.where(rvalid, rrows, 0)
     tvr = geometry.take_rows(tri_v, rs)
     tnr = geometry.take_rows(tri_n, rs)
-    # All 3 faces in ONE batched owner search (kernel-count discipline).
-    stale = rvalid[:, None] & (tnr >= 0) & (
-        flip_partner[jnp.where(tnr >= 0, tnr, 0)] >= 0
-    )
-    ns = jnp.where(stale, tnr, 0)  # [B, 3]
-    a = jnp.roll(tvr, -1, axis=1)
-    b = jnp.roll(tvr, -2, axis=1)
-    cands = jnp.stack([ns, flip_partner[ns]], -1)  # [B, 3, 2]
-    owner = _owner_of_face(tri_v, cands, a, b)
-    out = jnp.where(stale, owner, tnr)
+    out = _resolve_flipped_neighbor(tnr, tvr, flip_info, rvalid[:, None])
     return tri_n.at[jnp.where(rvalid, rrows, M + 1)].set(out, mode="drop")
 
 
@@ -992,6 +1067,13 @@ def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
     side-of-diagonal test — see _assign_split_child, _assign_flip_side).
     """
     N = site_tri.shape[0]
+    if 3 * r_site >= 2 * N:
+        # The chunk would cover (nearly) every site: decide directly on
+        # the full masked array — pts rows 3.. ARE the sites in order, so
+        # this skips the compaction cumsum/scatter AND the query gather.
+        t_of = jnp.where(affected, site_tri, 0)
+        new_t = decide(t_of, pts[3 : 3 + N])
+        return jnp.where(affected, new_t, site_tri)
     site_ids = jnp.arange(N, dtype=jnp.int32)
     cnt = jnp.sum(affected.astype(jnp.int32))
     srank = jnp.cumsum(affected.astype(jnp.int32)) - 1
@@ -1090,29 +1172,37 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
 
     # 3. Split maps + compacted neighbor repair (children may copy stale
     # pointers at neighbors that split this round; neighbors' pointers at
-    # a split parent re-resolve among its three children).  Both maps in
-    # one [M, 2] scatter; all 3 faces of all 6R rows in one owner search.
+    # a split parent re-resolve among its three children).  Ownership is
+    # a pure id test against the split record — parent face opposite v0
+    # stays with the parent slot, opposite v1 goes to cA, opposite v2 to
+    # cB — so the repair needs a [., 3, 4] record gather instead of the
+    # generic candidate-vertex owner search ([., 3, 3, 3] + [., 3, 2]
+    # gathers; gathered bytes are the dominant split-round cost).
     rows_p = jnp.where(pvalid, prow, M + 1)
     cAB_map = jnp.full((M, 2), -1, jnp.int32).at[rows_p].set(
         jnp.stack([ca, cb], -1), mode="drop"
     )
-    cA_map, cB_map = cAB_map[:, 0], cAB_map[:, 1]
-    split_flag = cA_map >= 0
+    split_flag = cAB_map[:, 0] >= 0
+    srec = jnp.full((M, 4), -1, jnp.int32).at[rows_p].set(
+        jnp.stack([v0, v1, ca, cb], -1), mode="drop"
+    )
     rep = jnp.concatenate([ps, ca, cb, n0, n1, n2])
     repv = jnp.concatenate([pvalid] * 6) & (rep >= 0)
     rs = jnp.where(repv, rep, 0)
     tvr6 = geometry.take_rows(tri_v, rs)
     tnr6 = geometry.take_rows(tri_n, rs)
-    stale = repv[:, None] & (tnr6 >= 0) & split_flag[
-        jnp.where(tnr6 >= 0, tnr6, 0)
-    ]
-    ns = jnp.where(stale, tnr6, 0)  # [6R, 3]
+    rec = geometry.take_rows(
+        srec, jnp.where(tnr6 >= 0, tnr6, 0)
+    )  # [6R, 3, 4]
+    stale = repv[:, None] & (tnr6 >= 0) & (rec[..., 2] >= 0)
     a = jnp.roll(tvr6, -1, axis=1)
     b = jnp.roll(tvr6, -2, axis=1)
-    cands = jnp.concatenate(
-        [ns[..., None], geometry.take_rows(cAB_map, ns)], -1
-    )  # [6R, 3, 3]
-    owner = _owner_of_face(tri_v, cands, a, b)
+    rv0, rv1 = rec[..., 0], rec[..., 1]
+    owner = jnp.where(
+        (a != rv0) & (b != rv0),
+        tnr6,  # face omits v0 -> parent-slot child keeps it
+        jnp.where((a != rv1) & (b != rv1), rec[..., 2], rec[..., 3]),
+    )
     out = jnp.where(stale, owner, tnr6)
     tri_n = tri_n.at[jnp.where(repv, rep, M + 1)].set(out, mode="drop")
 
@@ -1182,12 +1272,12 @@ def _flip_sweep_compact(
         tv, tn, cand_ok = _edge_candidates(
             pts, tri_v, tri_n, cc, rows, rvalid
         )
-        tri_v, tri_n, cc, flip_partner, rep, repv, any_flip = (
+        tri_v, tri_n, cc, flip_info, rep, repv, any_flip = (
             _match_and_flip(
                 pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok
             )
         )
-        tri_n = _repair_rows(tri_v, tri_n, flip_partner, rep, repv)
+        tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / partner beyond the batch); flip
         # neighborhoods are re-marked.  Overflow rows keep their flag.
@@ -1199,13 +1289,15 @@ def _flip_sweep_compact(
         )
         if relocate:
             t_of = jnp.where(site_tri >= 0, site_tri, 0)
-            affected = (site_tri >= 0) & (flip_partner[t_of] >= 0)
+            affected = (site_tri >= 0) & (
+                geometry.take_rows(flip_info, t_of)[:, 0] >= 0
+            )
             tv_now = tri_v
             site_tri = _relocate_sites_chunked(
                 pts,
                 site_tri,
                 affected,
-                lambda t, q: _assign_flip_side(pts, tv_now, flip_partner, t, q),
+                lambda t, q: _assign_flip_side(pts, tv_now, flip_info, t, q),
                 r_site,
             )
         # Progress = a flip executed OR the dirty set shrank (a cleaning
