@@ -634,7 +634,7 @@ def build_2d_chunked(
     r_compact: int = 524288,
     r_site: int = 262144,
     r_tail: int = 262144,
-    sweep_rounds: int = 24,
+    sweep_rounds: int = 32,
 ):
     """Host-orchestrated CAPACITY-STAGED build: short device executions
     whose per-round cost tracks the CURRENT triangulation size, not the
@@ -766,9 +766,12 @@ def build_2d_chunked(
         jnp.int32(N if n_real is None else n_real),
         cap_now,
     )
+    t_disp = _time.perf_counter()
     jax.block_until_ready(st.site_tri)
     config.log.info(
-        "build: init state %.2fs", _time.perf_counter() - t_entry
+        "build: init state %.2fs (trace+enqueue %.2fs)",
+        _time.perf_counter() - t_entry,
+        t_disp - t_entry,
     )
     rounds = 0
     t0 = _time.perf_counter()
@@ -857,7 +860,10 @@ def build_2d_chunked(
             # Cap-limited (the per-dispatch round bound keeps a single
             # device execution under the TPU runtime watchdog) — still
             # progressing, keep sweeping.
-            config.log.info("build: sweep continues, %d dirty", nd)
+            config.log.info(
+                "build: sweep continues, %d dirty (R=%d, %d rounds)",
+                nd, R, swept,
+            )
             continue
         # Fixpoint with dirt left (un-executable candidates): finish on
         # the dense path, whose termination rule ignores candidates.
@@ -1071,9 +1077,16 @@ def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
         # The chunk would cover (nearly) every site: decide directly on
         # the full masked array — pts rows 3.. ARE the sites in order, so
         # this skips the compaction cumsum/scatter AND the query gather.
-        t_of = jnp.where(affected, site_tri, 0)
-        new_t = decide(t_of, pts[3 : 3 + N])
-        return jnp.where(affected, new_t, site_tri)
+        # The cond keeps affected-free rounds (flip rounds late in a
+        # dispatch) from paying the full-[N] decide.
+        def _do(site_tri):
+            t_of = jnp.where(affected, site_tri, 0)
+            new_t = decide(t_of, pts[3 : 3 + N])
+            return jnp.where(affected, new_t, site_tri)
+
+        return jax.lax.cond(
+            jnp.any(affected), _do, lambda s: s, site_tri
+        )
     site_ids = jnp.arange(N, dtype=jnp.int32)
     cnt = jnp.sum(affected.astype(jnp.int32))
     srank = jnp.cumsum(affected.astype(jnp.int32)) - 1
