@@ -387,13 +387,18 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     return tv, tn, cand_ok
 
 
-def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
+def _match_and_flip(
+    pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok, want_frec=False
+):
     """Mutual-minimum matching + in-place execution of the matched flips.
 
     Returns ``(tri_v, tri_n, cc, flip_info [M, 3], rep [6*Rf],
     repv [6*Rf], any_flip)`` — the rewritten arrays, the EXECUTED-pair
     (partner, own_apex, partner_apex) map, the possibly-stale rows for
-    neighbor repair (+ validity mask), and the progress flag.
+    neighbor repair (+ validity mask), and the progress flag.  With
+    ``want_frec`` an [M, 6] float relocation record (new-diagonal
+    coordinates, own-apex side sign, partner id) is appended for
+    :func:`_assign_flip_side_rec`.
     """
     M = tri_v.shape[0]
     rs = jnp.where(rvalid, rows, 0)
@@ -477,10 +482,26 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
         mode="drop",
     )
 
-    # Refresh circumcircle cache for rewritten pairs.
-    rows2 = jnp.concatenate([ts, us])
-    cc = _cc_update(
-        cc, pts, new_tv, rows2, jnp.concatenate([fvalid, fvalid]), M
+    # Refresh circumcircle metadata for rewritten pairs from the
+    # orientation predicates on the pair's four points — one [Rf, 4, 2]
+    # coordinate gather instead of re-gathering the rewritten vertex rows
+    # (T1 = (e, c, qv), T2 = (e, c, pv); same operand order as
+    # _cc_update, so identical values).  The same predicates give the
+    # apex side signs for the relocation record.
+    pid4 = jnp.stack([e, c, qv, pv], -1)
+    p4 = geometry.take_rows(pts, jnp.clip(pid4, 0, pts.shape[0] - 1))
+    e_pt, c_pt, q_pt, p_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
+    D1 = robust.orient2d_ds(e_pt, c_pt, q_pt)
+    D2 = robust.orient2d_ds(e_pt, c_pt, p_pt)
+    fcc = lambda x: x.astype(cc.dtype)
+    cc = cc.at[rows_tu].set(
+        jnp.concatenate(
+            [
+                jnp.stack([fcc(D1 != 0), fcc(e + c + qv)], -1),
+                jnp.stack([fcc(D2 != 0), fcc(e + c + pv)], -1),
+            ]
+        ),
+        mode="drop",
     )
     # EXECUTED-only flip-info map over the global id space:
     # (partner, own_apex, partner_apex) per rewritten row, for repair and
@@ -503,7 +524,44 @@ def _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok):
     # outer neighbors.
     rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
     repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
-    return new_tv, new_tn, cc, flip_info, rep, repv, any_flip
+    if not want_frec:
+        return new_tv, new_tn, cc, flip_info, rep, repv, any_flip
+    dtype = pts.dtype
+    sg1 = jnp.where(D1 < 0, -1.0, 1.0).astype(dtype)
+    sg2 = jnp.where(D2 < 0, -1.0, 1.0).astype(dtype)
+    diag = jnp.concatenate([e_pt, c_pt], -1)  # [Rf, 4]
+    frec = jnp.full((M, 6), -1.0, dtype).at[rows_tu].set(
+        jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [diag, sg1[:, None], us.astype(dtype)[:, None]], -1
+                ),
+                jnp.concatenate(
+                    [diag, sg2[:, None], ts.astype(dtype)[:, None]], -1
+                ),
+            ]
+        ),
+        mode="drop",
+    )
+    return new_tv, new_tn, cc, flip_info, rep, repv, any_flip, frec
+
+
+def _assign_flip_side_rec(frec, t_of, q):
+    """Record-based post-flip side selection (see _assign_flip_side).
+
+    The executed pair's apexes sit strictly on opposite sides of the new
+    diagonal (the flip required strict convexity), so "move to the
+    partner" is exactly ``sign(orient(e, c, q)) == -sign(own apex side)``
+    — ONE [B, 6] record gather + one compensated predicate per site;
+    on-diagonal ties (orient == 0) keep the current triangle, as in
+    :func:`_assign_flip_side`.
+    """
+    r = geometry.take_rows(frec, t_of)  # [B, 6]
+    e_pt, c_pt = r[:, 0:2], r[:, 2:4]
+    sg, partner = r[:, 4], r[:, 5].astype(jnp.int32)
+    dq = robust.orient2d_ds(e_pt, c_pt, q)
+    take_u = (dq * sg < 0) & (partner >= 0)
+    return jnp.where(take_u, partner, t_of)
 
 
 def _flip_round(pts, carry, relocate=True):
@@ -620,6 +678,37 @@ def build_2d(
     return final.tri_v, final.tri_n, alive, final.n_tris
 
 
+_AOT_CACHE: dict = {}
+
+
+def _aot_compile(label, make_jit, example_args):
+    """Trace+lower+compile a jitted function EXPLICITLY, memoized module-wide.
+
+    Two reasons this exists (both measured on the axon v5e runtime):
+
+    * a FRESH ``jax.jit`` instance's first ``__call__`` costs ~20 s even
+      when the persistent compile cache is warm — the explicit AOT path
+      (``f.trace(...).lower().compile()``) loads the same cached program
+      in ~5 s;
+    * ``build_2d_chunked`` used to create its jit wrappers per CALL, so
+      every build paid that overhead again for every (cap, R, rsite)
+      combination.  The compiled executables are process-wide — a second
+      build with the same shapes dispatches directly.
+
+    ``label`` + the example args' shapes/dtypes form the memo key (statics
+    must be part of ``label``).
+    """
+    key = (label,) + tuple(
+        (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape") else a
+        for a in jax.tree_util.tree_leaves(example_args)
+    )
+    ent = _AOT_CACHE.get(key)
+    if ent is None:
+        ent = make_jit().trace(*example_args).lower().compile()
+        _AOT_CACHE[key] = ent
+    return ent
+
+
 def build_2d_chunked(
     sites_std,
     cage_std,
@@ -628,40 +717,39 @@ def build_2d_chunked(
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
-    dispatch_target_s: float = 20.0,
+    k_batch: int = 32,
     start_cap: int = 1 << 30,
     ladder_factor: int = 8,
     r_compact: int = 524288,
-    r_site: int = 262144,
-    r_tail: int = 262144,
+    r_site: int = 1 << 21,
     sweep_rounds: int = 32,
 ):
-    """Host-orchestrated CAPACITY-STAGED build: short device executions
-    whose per-round cost tracks the CURRENT triangulation size, not the
-    final one.
+    """Host-orchestrated chunked build: short device executions in batches
+    of up to ``k_batch`` insertion rounds per dispatch.
 
-    Identical algorithm to :func:`build_2d`, with three structural
-    changes that together took the 1M-site build from ~1090s (round 1)
-    to the tens of seconds:
+    Identical algorithm to :func:`build_2d`; the structural differences
+    that took the 1M-site build from ~1090 s (round 1) to the tens of
+    seconds:
 
-    * **capacity staging** — the triangle arrays start at ``start_cap``
-      slots and grow by ``ladder_factor`` when full ( _split_round defers
-      claims that would overflow).  Every kernel in a round is O(cap),
-      so the early rounds — which dominate the round count — run on tiny
-      arrays instead of all 2N+3 slots;
-    * **dirty-set cleanup** — the final flip-to-convergence runs on an
-      [r_compact]-compacted dirty subset (:func:`_flip_sweep_compact`)
-      instead of dense all-slot rounds, and skips the [N]-sized site
-      relocation entirely;
-    * the outer loop runs in Python with donated on-device state in
-      batches of k insertion rounds per dispatch: a single multi-minute
-      device execution trips the TPU runtime watchdog, and each
-      dispatch's termination check costs a device->host scalar readback
-      (~0.5s through the axon tunnel), so k is chosen from the known
-      geometric growth of the triangulation (x3 per round until sites
-      thin out) to fill each stage in ~1-2 dispatches.
+    * **compact rounds** — splits and flips run on [R]-compacted
+      workspaces (:func:`_split_round_compact`,
+      :func:`_flip_sweep_compact`) with packed-record site relocation, so
+      a round costs O(R + activity), not O(2N+3);
+    * **one program per phase** — a single (R, rsite) rung serves the
+      whole insert phase and another the final sweep, and both are
+      AOT-compiled through the module-wide executable cache
+      (:func:`_aot_compile`): per-dispatch cost is pure device execution,
+      not re-trace/re-lower/cache-probe (~20 s per shape otherwise);
+    * the outer loop runs in Python with donated on-device state: a
+      single multi-minute device execution trips the TPU runtime
+      watchdog, and each dispatch costs one ~0.3 s scalar readback, so
+      rounds are batched (``k_batch``; the device loop self-terminates
+      the moment every site is inserted).
+
+    ``start_cap``/``ladder_factor`` keep the capacity-staged mode for
+    memory-constrained builds (each rung compiles its own programs);
+    the default is a single full-size stage.
     """
-    import math as _math
     import time as _time
 
     from ..utils import config
@@ -670,63 +758,95 @@ def build_2d_chunked(
     n_sites = N if n_real is None else n_real
     dtype = sites_std.dtype
     full_m = 2 * N + 3
+    t_entry = _time.perf_counter()
+    cap_now = min(start_cap, full_m)
 
-    @functools.partial(
-        jax.jit, static_argnums=(4, 5), donate_argnums=(1, 2)
+    def make_init():
+        @functools.partial(jax.jit, static_argnums=(2, 4))
+        def init_all(sites, cage, Np, n_real_, cap):
+            p = jnp.concatenate([cage.astype(sites.dtype), sites])
+            return (
+                p,
+                _init_state(p, Np, n_real_, cap=cap),
+                jnp.zeros(cap, bool),
+            )
+
+        return init_all
+
+    sites_dev = jnp.asarray(sites_std)
+    cage_dev = jnp.asarray(cage_std)
+    nreal_dev = jnp.int32(N if n_real is None else n_real)
+    init_c = _aot_compile(
+        ("init_all", N, cap_now), make_init,
+        (sites_dev, cage_dev, N, nreal_dev, cap_now),
     )
-    def k_rounds(pts, st, dirty, k, R, rsite):
-        # k is a traced operand (not static): every batch size shares ONE
-        # compiled program — compile via the axon tunnel costs ~50x
-        # execution, so program count matters more than loop-bound folding.
-        # R and rsite (static) size the compacted workspaces: the host
-        # drops to a small-R variant for the coupon-collector tail, where
-        # a big fixed workspace would dominate the per-round cost, and
-        # uses ONE big relocation chunk in the bulge (per-kernel overhead
-        # dwarfs per-element cost, so 1 chunk of 1M beats 4 of 256k).
-        M = st.tri_v.shape[0]
+    pts, st, dirty = init_c(sites_dev, cage_dev, nreal_dev)
+    t_disp = _time.perf_counter()
+    jax.block_until_ready(st.site_tri)
+    config.log.info(
+        "build: init state %.2fs (trace+enqueue %.2fs)",
+        _time.perf_counter() - t_entry,
+        t_disp - t_entry,
+    )
 
-        def cond(c):
-            st, dirty, it, progress = c
-            return (st.n_left > 0) & (it < k) & progress
-
-        def body(c):
-            st, dirty, it, _progress = c
-            # A split round costs ~1/5 of a flip round (claims are per
-            # leaf, so back-to-back splits triple the claimable leaf set
-            # each time); batching several splits per flip block cuts the
-            # dominant flip-round count without touching correctness —
-            # site_tri stays exact through each split's own relocation,
-            # and Delaunay restoration is the sweep's job.
-            # Splits run on a half workspace: typical per-round claims sit
-            # well under R/2, every [R_s]-sized pass halves, and a rare
-            # over-full round just defers claims to the next one.
-            R_s = max(R // 2, 4096)
-            n_new = jnp.int32(0)
-            for _ in range(splits_per_round):
-                st, dirty, n_new_i = _split_round_compact(
-                    pts, st, dirty, R_s, rsite
-                )
-                n_new = n_new + n_new_i
-            tri_v, tri_n, cc, dirty, _, _, site_tri = _flip_sweep_compact(
-                pts, st.tri_v, st.tri_n, st.cc, dirty,
-                R, jnp.int32(flips_per_round),
-                site_tri=st.site_tri, r_site=rsite,
-            )
-            st = BuildState(
-                tri_v, tri_n, cc, st.n_tris, site_tri, st.n_left
-            )
-            # A claim-less round at a full capacity is a stall: return to
-            # the host for a grow instead of spinning out the batch.
-            return st, dirty, it + 1, n_new > 0
-
-        st, dirty, _, _ = jax.lax.while_loop(
-            cond, body, (st, dirty, jnp.int32(0), True)
+    def make_k_rounds(R, rsite):
+        # k is a traced operand: one program serves every batch size.
+        @functools.partial(
+            jax.jit, static_argnums=(), donate_argnums=(1, 2)
         )
-        return st, dirty
+        def k_rounds(pts, st, dirty, k):
+            M = st.tri_v.shape[0]
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def cleanup(pts, st, cap):
-        return _flip_rounds(pts, st, cap, relocate=False)
+            def cond(c):
+                st, dirty, it, progress = c
+                return (st.n_left > 0) & (it < k) & progress
+
+            def body(c):
+                st, dirty, it, _progress = c
+                # Splits run on a quarter workspace (two fit the fresh-
+                # child block budget 2*R_s <= M//2); a split round costs
+                # ~1/4 of a flip round, and batching several per flip
+                # block cuts the dominant round count — site_tri stays
+                # exact through each split's own relocation, and Delaunay
+                # restoration is the sweep's job.
+                R_s = max(min(R // 2, M // 4), 1)
+                n_new = jnp.int32(0)
+                for _ in range(splits_per_round):
+                    st, dirty, n_new_i = _split_round_compact(
+                        pts, st, dirty, R_s, rsite
+                    )
+                    n_new = n_new + n_new_i
+                tri_v, tri_n, cc, dirty, _, _, site_tri = (
+                    _flip_sweep_compact(
+                        pts, st.tri_v, st.tri_n, st.cc, dirty,
+                        R, jnp.int32(flips_per_round),
+                        site_tri=st.site_tri, r_site=rsite,
+                    )
+                )
+                st = BuildState(
+                    tri_v, tri_n, cc, st.n_tris, site_tri, st.n_left
+                )
+                # A claim-less round at a full capacity is a stall:
+                # return to the host for a grow instead of spinning.
+                return st, dirty, it + 1, n_new > 0
+
+            st, dirty, _, _ = jax.lax.while_loop(
+                cond, body, (st, dirty, jnp.int32(0), True)
+            )
+            return st, dirty
+
+        return k_rounds
+
+    def make_sweep(R, cap):
+        @functools.partial(
+            jax.jit, donate_argnums=(1, 2, 3, 4)
+        )
+        def sweep(pts, tri_v, tri_n, cc, dirty):
+            return _flip_sweep_compact(
+                pts, tri_v, tri_n, cc, dirty, R, jnp.int32(cap)
+            )
+
+        return sweep
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def grow(pts, st, dirty, new_cap):
@@ -741,38 +861,10 @@ def build_2d_chunked(
             st.n_left,
         ), jnp.concatenate([dirty, jnp.zeros(pad, bool)])
 
-    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(1, 2, 3, 4))
-    def sweep(pts, tri_v, tri_n, cc, dirty, R, cap):
-        return _flip_sweep_compact(pts, tri_v, tri_n, cc, dirty, R, cap)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def cleanup(pts, st, cap):
+        return _flip_rounds(pts, st, cap, relocate=False)
 
-    t_entry = _time.perf_counter()
-    cap_now = min(start_cap, full_m)
-
-    # One jitted dispatch for pts + state + dirty: each eager op costs
-    # ~0.5s of dispatch latency through the axon tunnel.
-    @functools.partial(jax.jit, static_argnums=(2, 4))
-    def init_all(sites, cage, N, n_real, cap):
-        p = jnp.concatenate([cage.astype(sites.dtype), sites])
-        return (
-            p,
-            _init_state(p, N, n_real, cap=cap),
-            jnp.zeros(cap, bool),
-        )
-
-    pts, st, dirty = init_all(
-        sites_std,
-        cage_std,
-        N,
-        jnp.int32(N if n_real is None else n_real),
-        cap_now,
-    )
-    t_disp = _time.perf_counter()
-    jax.block_until_ready(st.site_tri)
-    config.log.info(
-        "build: init state %.2fs (trace+enqueue %.2fs)",
-        _time.perf_counter() - t_entry,
-        t_disp - t_entry,
-    )
     rounds = 0
     t0 = _time.perf_counter()
     while True:
@@ -792,40 +884,21 @@ def build_2d_chunked(
             st, dirty = grow(pts, st, dirty, new_cap)
             cap_now = new_cap
             config.log.info("build: grow capacity -> %d", cap_now)
-        # Workspace rung + batch size.  Claims per round are bounded by
-        # min(n_left, n_tris), so the growth phase (n_tris tiny) and the
-        # coupon-collector tail (n_left tiny) both run on the small rung;
-        # only the mid-build bulge needs the big workspace.  Claims beyond
-        # a rung defer harmlessly to the next round.
-        small = max(r_tail // 8, 4096)
-        target = min(n_left, n_tris)
-        r_round = min(small if target <= small else r_compact, cap_now)
-        if target <= small and n_tris < small:
-            # growth phase: rounds until claims could overflow the rung
-            # (triangles grow ~3^splits_per_round per round)
-            k = max(
-                1,
-                int(
-                    _math.log(max(small / max(n_tris, 1), 3), 3)
-                    / max(splits_per_round, 1)
-                ),
-            )
-        else:
-            k = 16
-        # Relocation chunk: one chunk covering every remaining site while
-        # many are affected per round; a small chunk once few are.
-        rsite_round = 1 << 16 if n_left <= (1 << 16) else min(
-            max(r_site, 1 << (max(n_left - 1, 1)).bit_length()), 1 << 21
+        R = min(r_compact, cap_now)
+        rsite = min(r_site, 1 << 21)
+        kr = _aot_compile(
+            ("k_rounds", cap_now, R, rsite, splits_per_round,
+             flips_per_round, N, str(dtype)),
+            lambda: make_k_rounds(R, rsite),
+            (pts, st, dirty, jnp.int32(k_batch)),
         )
         td = _time.perf_counter()
-        st, dirty = k_rounds(
-            pts, st, dirty, jnp.int32(k), r_round, rsite_round
-        )
+        st, dirty = kr(pts, st, dirty, jnp.int32(k_batch))
         n_left = int(st.n_left)  # forces the sync; count it in the wall
-        rounds += k
+        rounds += k_batch
         config.log.info(
-            "build rounds ~%d (k=%d, cap=%d, %.2fs): %d left, %.2fs total",
-            rounds, k, cap_now, _time.perf_counter() - td, n_left,
+            "build rounds <=%d (cap=%d, %.2fs): %d left, %.2fs total",
+            rounds, cap_now, _time.perf_counter() - td, n_left,
             _time.perf_counter() - t0,
         )
     if cap_now < full_m:
@@ -836,20 +909,16 @@ def build_2d_chunked(
     # Dirty-compacted cleanup, continuing from the insert rounds' carried
     # dirty set (the non-dirty remainder is already locally Delaunay).
     tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
-    nd = full_m  # upper bound; refined by each dispatch's readback
+    R = min(r_compact, full_m)
+    sw = _aot_compile(
+        ("sweep", full_m, R, sweep_rounds, N, str(dtype)),
+        lambda: make_sweep(R, sweep_rounds),
+        (pts, tri_v, tri_n, cc, dirty),
+    )
     swept = 0
     while True:
-        # Rung descent: every [R]-sized pass (predicates, gathers,
-        # matching) scales with the workspace, so track the dirty count
-        # with a pow2 ladder (floor 32k; ~1.5x headroom for transient
-        # re-dirtying inside a dispatch — overflow rows just wait).
-        R = min(
-            max(1 << max(int(nd * 1.5) - 1, 1).bit_length(), 32768),
-            r_compact,
-            full_m,
-        )
-        tri_v, tri_n, cc, dirty, used, nd, _ = sweep(
-            pts, tri_v, tri_n, cc, dirty, R, jnp.int32(sweep_rounds)
+        tri_v, tri_n, cc, dirty, used, nd, _ = sw(
+            pts, tri_v, tri_n, cc, dirty
         )
         used = int(used)
         swept += used
@@ -861,8 +930,7 @@ def build_2d_chunked(
             # device execution under the TPU runtime watchdog) — still
             # progressing, keep sweeping.
             config.log.info(
-                "build: sweep continues, %d dirty (R=%d, %d rounds)",
-                nd, R, swept,
+                "build: sweep continues, %d dirty (%d rounds)", nd, swept
             )
             continue
         # Fixpoint with dirt left (un-executable candidates): finish on
@@ -884,7 +952,7 @@ def build_2d_chunked(
         tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
         break
     config.log.info(
-        "build: ~%d insert rounds %.1fs, %d sweep rounds %.1fs",
+        "build: <=%d insert rounds %.1fs, %d sweep rounds %.1fs",
         rounds, t1 - t0, swept, _time.perf_counter() - t1,
     )
     alive = tri_v[:, 0] >= 0
@@ -1113,20 +1181,67 @@ def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
     return site_tri
 
 
+def _assign_split_child_rec(rec_f, t_of, q):
+    """Record-based post-split child selection (see _assign_split_child).
+
+    Identical decisions to :func:`_assign_split_child`, but every input —
+    the four vertex coordinates, the parent orientation sign, and the two
+    fresh child ids (exact as floats: ids < 2^24) — rides in ONE
+    [B, 11] row gather of the per-parent split record built at [R] cost
+    inside the split round, instead of three chained id/point gathers per
+    site.  Gathered bytes and gather count are the dominant relocation
+    cost at 1M sites.
+    """
+    r = geometry.take_rows(rec_f, t_of)  # [B, 11]
+    s_pt, v0_pt = r[:, 0:2], r[:, 2:4]
+    v1_pt, v2_pt = r[:, 4:6], r[:, 6:8]
+    o = r[:, 8]
+    A = r[:, 9].astype(jnp.int32)
+    B = r[:, 10].astype(jnp.int32)
+    a0 = robust.orient2d_ds(s_pt, v0_pt, q)
+    a1 = robust.orient2d_ds(s_pt, v1_pt, q)
+    a2 = robust.orient2d_ds(s_pt, v2_pt, q)
+    b0, b1, b2 = a0 * o, a1 * o, a2 * o
+    in_A = (b2 >= 0) & (b0 < 0)
+    in_B = (b0 >= 0) & (b1 < 0)
+    return jnp.where(in_A & (A >= 0), A,
+                     jnp.where(in_B & (B >= 0), B, t_of))
+
+
 def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
     """Activity-compacted insertion round.
 
     Same semantics as :func:`_split_round` (identical claims, identical
-    relocation decisions), but the splitting triangles are prefix-
-    compacted into an [R] workspace, neighbor repair touches only the 6R
-    affected rows, and site relocation runs chunked over the affected
-    sites — so a round's cost tracks the number of claims, not the array
-    capacity.  Claims beyond R (or beyond capacity) are deferred to the
-    next round.  Returns ``(state, dirty)`` with the new children and
-    their neighbors marked dirty for the flip sweep.
+    relocation decisions), but engineered around the measured per-phase
+    costs at 1M sites (claims 50 / child writes 148 / repair 149 / cc 50 /
+    relocation 145 ms before this layout):
+
+    * the two FRESH children of split ``i`` get ids ``n_tris + 2i`` /
+      ``n_tris + 2i + 1`` — a CONTIGUOUS block, written with one
+      ``dynamic_update_slice`` instead of a 2R-row scatter (only the
+      reused parent slot needs a real scatter);
+    * each child's single external pointer (slot 0) is RESOLVED against
+      the split records *before* the rows are written, so child rows are
+      never stale and need no repair pass;
+    * a non-split neighbor has exactly ONE stale slot (the one pointing
+      at a split parent, which re-resolves to the child owning the shared
+      face) — repaired with a flat single-element scatter instead of
+      re-deriving all 3 slots of all 6R affected rows;
+    * child circumcircle metadata comes from the orientation predicates
+      the round already evaluates (no vertex re-gather);
+    * site relocation reads ONE packed [., 11] float record per site
+      (:func:`_assign_split_child_rec`).
+
+    Claims beyond R (or beyond capacity) are deferred to the next round.
+    Requires ``2 * R < M`` (the chunked orchestrator guarantees it).
+    Returns ``(state, dirty, n_new)`` with the new children and their
+    neighbors marked dirty for the flip sweep.
     """
     M = st.tri_v.shape[0]
+    if 2 * R >= M:
+        raise ValueError(f"_split_round_compact needs 2R < M ({R=}, {M=})")
     N = st.site_tri.shape[0]
+    dtype = pts.dtype
     site_ids = jnp.arange(N, dtype=jnp.int32)
     tri_v, tri_n, cc, n_tris, site_tri, n_left = st
 
@@ -1151,96 +1266,129 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
     tnr = geometry.take_rows(tri_n, ps)
     v0, v1, v2 = tvr[:, 0], tvr[:, 1], tvr[:, 2]
     n0, n1, n2 = tnr[:, 0], tnr[:, 1], tnr[:, 2]
-
-    # Child in parent slot keeps face 0 (old n0); cA gets n1; cB gets n2.
-    # ONE scatter per destination array (kernel-count discipline): the
-    # three child rows are disjoint by construction.
-    rows9 = jnp.where(
-        jnp.concatenate([pvalid] * 3),
-        jnp.concatenate([ps, ca, cb]),
-        M + 1,
-    )
-    tri_v = tri_v.at[rows9].set(
-        jnp.concatenate(
-            [
-                jnp.stack([s_pid, v1, v2], -1),
-                jnp.stack([s_pid, v2, v0], -1),
-                jnp.stack([s_pid, v0, v1], -1),
-            ]
-        ),
-        mode="drop",
-    )
-    tri_n = tri_n.at[rows9].set(
-        jnp.concatenate(
-            [
-                jnp.stack([n0, ca, cb], -1),
-                jnp.stack([n1, cb, ps], -1),
-                jnp.stack([n2, ps, ca], -1),
-            ]
-        ),
-        mode="drop",
-    )
     n_new = jnp.sum(pvalid.astype(jnp.int32))
-    n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
 
-    # 3. Split maps + compacted neighbor repair (children may copy stale
-    # pointers at neighbors that split this round; neighbors' pointers at
-    # a split parent re-resolve among its three children).  Ownership is
-    # a pure id test against the split record — parent face opposite v0
-    # stays with the parent slot, opposite v1 goes to cA, opposite v2 to
-    # cB — so the repair needs a [., 3, 4] record gather instead of the
-    # generic candidate-vertex owner search ([., 3, 3, 3] + [., 3, 2]
-    # gathers; gathered bytes are the dominant split-round cost).
+    # 3. Split records (also the relocation decision table).
     rows_p = jnp.where(pvalid, prow, M + 1)
-    cAB_map = jnp.full((M, 2), -1, jnp.int32).at[rows_p].set(
-        jnp.stack([ca, cb], -1), mode="drop"
-    )
-    split_flag = cAB_map[:, 0] >= 0
     srec = jnp.full((M, 4), -1, jnp.int32).at[rows_p].set(
         jnp.stack([v0, v1, ca, cb], -1), mode="drop"
     )
-    rep = jnp.concatenate([ps, ca, cb, n0, n1, n2])
-    repv = jnp.concatenate([pvalid] * 6) & (rep >= 0)
-    rs = jnp.where(repv, rep, 0)
-    tvr6 = geometry.take_rows(tri_v, rs)
-    tnr6 = geometry.take_rows(tri_n, rs)
-    rec = geometry.take_rows(
-        srec, jnp.where(tnr6 >= 0, tnr6, 0)
-    )  # [6R, 3, 4]
-    stale = repv[:, None] & (tnr6 >= 0) & (rec[..., 2] >= 0)
-    a = jnp.roll(tvr6, -1, axis=1)
-    b = jnp.roll(tvr6, -2, axis=1)
-    rv0, rv1 = rec[..., 0], rec[..., 1]
+    split_flag = srec[:, 2] >= 0
+
+    # 4. Pre-resolve each child's external (slot-0) pointer: if the old
+    # neighbor across that face ALSO split this round, the face's owner
+    # among its children follows from the omit rule — a face omitting the
+    # record's v0 stays with the parent slot, omitting v1 goes to cA,
+    # else cB.  Faces: parent slot (v1,v2) ext n0; cA (v2,v0) ext n1;
+    # cB (v0,v1) ext n2.
+    nall = jnp.where(jnp.concatenate([pvalid] * 3),
+                     jnp.concatenate([n0, n1, n2]), -1)
+    rec3 = geometry.take_rows(srec, jnp.where(nall >= 0, nall, 0))
+    nsplit = (nall >= 0) & (rec3[:, 2] >= 0)
+    fa = jnp.concatenate([v1, v2, v0])
+    fb = jnp.concatenate([v2, v0, v1])
+    rv0, rv1 = rec3[:, 0], rec3[:, 1]
     owner = jnp.where(
-        (a != rv0) & (b != rv0),
-        tnr6,  # face omits v0 -> parent-slot child keeps it
-        jnp.where((a != rv1) & (b != rv1), rec[..., 2], rec[..., 3]),
+        (fa != rv0) & (fb != rv0),
+        nall,
+        jnp.where((fa != rv1) & (fb != rv1), rec3[:, 2], rec3[:, 3]),
     )
-    out = jnp.where(stale, owner, tnr6)
-    tri_n = tri_n.at[jnp.where(repv, rep, M + 1)].set(out, mode="drop")
+    next0 = jnp.where(nsplit, owner, nall)
+    e0, e1, e2 = next0[:R], next0[R : 2 * R], next0[2 * R :]
 
-    # 4. Circumcircle cache for the 3 children of every split.
-    rows3 = jnp.concatenate([ps, ca, cb])
-    cc = _cc_update(
-        cc, pts, tri_v, rows3, jnp.concatenate([pvalid] * 3), M
+    # 5. Coordinates + orientation predicates (shared by the circumcircle
+    # metadata and the relocation record).
+    pid4 = jnp.stack([s_pid, v0, v1, v2], -1)
+    p4 = geometry.take_rows(pts, pid4)  # [R, 4, 2]
+    s_pt, v0_pt, v1_pt, v2_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
+    D0 = robust.orient2d_ds(s_pt, v1_pt, v2_pt)  # parent-slot child
+    D1 = robust.orient2d_ds(s_pt, v2_pt, v0_pt)  # cA
+    D2 = robust.orient2d_ds(s_pt, v0_pt, v1_pt)  # cB
+    o = jnp.where(D0 < 0, -1.0, 1.0).astype(dtype)
+    f32 = lambda x: x.astype(cc.dtype)
+    cc_ps = jnp.stack([f32(D0 != 0), f32(s_pid + v1 + v2)], -1)
+    cc_ca = jnp.stack([f32(D1 != 0), f32(s_pid + v2 + v0)], -1)
+    cc_cb = jnp.stack([f32(D2 != 0), f32(s_pid + v0 + v1)], -1)
+
+    rec_f = jnp.full((M, 11), -1.0, dtype).at[rows_p].set(
+        jnp.concatenate(
+            [p4.reshape(R, 8), o[:, None],
+             ca.astype(dtype)[:, None], cb.astype(dtype)[:, None]],
+            -1,
+        ),
+        mode="drop",
     )
 
-    # 5. Re-locate sites whose leaf split (chunked); retire claimed.
+    # 6. Write the rows.  Fresh children are a contiguous block at
+    # [n_tris, n_tris + 2*n_new): ONE dynamic_update_slice per array.
+    # When capacity runs short the block start clamps to M - 2R and the
+    # overlap keeps its current contents (claims were capped, so live
+    # children still land at exactly n_tris + k).
+    blk_v = jnp.stack(
+        [jnp.stack([s_pid, v2, v0], -1), jnp.stack([s_pid, v0, v1], -1)],
+        axis=1,
+    ).reshape(2 * R, 3)
+    psl = jnp.where(pvalid, prow, -1)
+    blk_n = jnp.stack(
+        [jnp.stack([e1, cb, psl], -1), jnp.stack([e2, psl, ca], -1)],
+        axis=1,
+    ).reshape(2 * R, 3)
+    blk_c = jnp.stack([cc_ca, cc_cb], axis=1).reshape(2 * R, 2)
+    start = jnp.minimum(n_tris, M - 2 * R)
+    ofs = n_tris - start
+    j2 = jnp.arange(2 * R, dtype=jnp.int32)
+    use = (j2 >= ofs) & (j2 < ofs + 2 * n_new)
+
+    def blk_write(arr, blk):
+        idx = (start,) + (jnp.int32(0),) * (arr.ndim - 1)
+        cur = jax.lax.dynamic_slice(arr, idx, (2 * R,) + arr.shape[1:])
+        mask = use.reshape((2 * R,) + (1,) * (arr.ndim - 1))
+        blk = jnp.where(mask, jnp.roll(blk, ofs, axis=0), cur)
+        return jax.lax.dynamic_update_slice(arr, blk, idx)
+
+    tri_v = blk_write(tri_v, blk_v)
+    tri_n = blk_write(tri_n, blk_n)
+    cc = blk_write(cc, blk_c)
+    tri_v = tri_v.at[rows_p].set(jnp.stack([s_pid, v1, v2], -1), mode="drop")
+    tri_n = tri_n.at[rows_p].set(jnp.stack([e0, ca, cb], -1), mode="drop")
+    cc = cc.at[rows_p].set(cc_ps, mode="drop")
+    n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
+
+    # 7. One-slot repair of NON-split neighbors: their pointer at a split
+    # parent re-resolves to cA (face (v2,v0)) / cB (face (v0,v1)); the
+    # n0 pointer stays at the parent slot.  Disjoint (row, slot) targets
+    # by construction -> flat single-element scatter.
+    nb = jnp.concatenate([n1, n2])
+    own = jnp.concatenate([ca, cb])
+    nb_split = jnp.concatenate([nsplit[R : 2 * R], nsplit[2 * R :]])
+    nb_ok = jnp.concatenate([pvalid] * 2) & (nb >= 0) & ~nb_split
+    nrow = geometry.take_rows(tri_n, jnp.where(nb_ok, nb, 0))  # [2R, 3]
+    ps2 = jnp.concatenate([ps] * 2)
+    slot = jnp.argmax(nrow == ps2[:, None], axis=-1).astype(jnp.int32)
+    flat = jnp.where(nb_ok, nb * 3 + slot, 3 * M + 1)
+    tri_n = (
+        tri_n.reshape(-1).at[flat].set(own, mode="drop").reshape(M, 3)
+    )
+
+    # 8. Re-locate sites whose leaf split (chunked); retire claimed.
     t_of = jnp.where(site_tri >= 0, site_tri, 0)
     needs = (site_tri >= 0) & split_flag[t_of]
     site_tri = _relocate_sites_chunked(
         pts,
         site_tri,
         needs,
-        lambda t, q: _assign_split_child(pts, tri_v, cAB_map, t, q),
+        lambda t, q: _assign_split_child_rec(rec_f, t, q),
         r_site,
     )
     claimed = needs & (claim[t_of] == site_ids)
     site_tri = jnp.where(claimed, -1, site_tri)
     n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
 
-    # 6. Mark the flip frontier dirty.
-    dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(True, mode="drop")
+    # 9. Mark the flip frontier dirty: parents (their slots now hold
+    # children), the fresh block, and the outer neighbors.
+    dirty = blk_write(dirty, jnp.ones(2 * R, bool))
+    rep4 = jnp.concatenate([rows_p, jnp.where(nall >= 0, nall, M + 1)])
+    dirty = dirty.at[rep4].set(True, mode="drop")
     st = BuildState(tri_v, tri_n, cc, n_tris, site_tri, n_left)
     return st, dirty, n_new
 
@@ -1285,11 +1433,11 @@ def _flip_sweep_compact(
         tv, tn, cand_ok = _edge_candidates(
             pts, tri_v, tri_n, cc, rows, rvalid
         )
-        tri_v, tri_n, cc, flip_info, rep, repv, any_flip = (
-            _match_and_flip(
-                pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok
-            )
+        out = _match_and_flip(
+            pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok,
+            want_frec=relocate,
         )
+        tri_v, tri_n, cc, flip_info, rep, repv, any_flip = out[:7]
         tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / partner beyond the batch); flip
@@ -1301,16 +1449,18 @@ def _flip_sweep_compact(
             True, mode="drop"
         )
         if relocate:
+            frec = out[7]
+            # Affected detection from the record's (contiguous) partner
+            # column: 4 bytes gathered per site instead of a 12-byte
+            # flip_info row.
+            pcol = frec[:, 5]
             t_of = jnp.where(site_tri >= 0, site_tri, 0)
-            affected = (site_tri >= 0) & (
-                geometry.take_rows(flip_info, t_of)[:, 0] >= 0
-            )
-            tv_now = tri_v
+            affected = (site_tri >= 0) & (pcol[t_of] >= 0)
             site_tri = _relocate_sites_chunked(
                 pts,
                 site_tri,
                 affected,
-                lambda t, q: _assign_flip_side(pts, tv_now, flip_info, t, q),
+                lambda t, q: _assign_flip_side_rec(frec, t, q),
                 r_site,
             )
         # Progress = a flip executed OR the dirty set shrank (a cleaning
