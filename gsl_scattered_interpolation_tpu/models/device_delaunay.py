@@ -713,7 +713,7 @@ def build_2d_chunked(
     sites_std,
     cage_std,
     flips_per_round: int = 2,
-    splits_per_round: int = 2,
+    splits_per_round: int = 4,
     cleanup_chunk: int = 32,
     max_cleanup_chunks: int = 256,
     n_real: int | None = None,
@@ -909,14 +909,24 @@ def build_2d_chunked(
     # Dirty-compacted cleanup, continuing from the insert rounds' carried
     # dirty set (the non-dirty remainder is already locally Delaunay).
     tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
-    R = min(r_compact, full_m)
-    sw = _aot_compile(
-        ("sweep", full_m, R, sweep_rounds, N, str(dtype)),
-        lambda: make_sweep(R, sweep_rounds),
-        (pts, tri_v, tri_n, cc, dirty),
-    )
     swept = 0
+    nd = full_m  # upper bound; refined by each dispatch's readback
+    r_small = min(32768, r_compact, full_m)
     while True:
+        # Two-rung drain: the first dispatches chew the post-insert bulk
+        # on the full workspace; the long convergence tail (flip cascades
+        # re-dirtying a few thousand rows) runs on a small one, where
+        # every [R]-sized pass (candidates, matching, repair) is ~4x
+        # cheaper.  More tail rounds per dispatch: they're cheap and it
+        # saves ~0.3s of scalar readback each.
+        tail = nd < (3 * r_small) // 4
+        R = r_small if tail else min(r_compact, full_m)
+        cap_rounds = 4 * sweep_rounds if tail else sweep_rounds
+        sw = _aot_compile(
+            ("sweep", full_m, R, cap_rounds, N, str(dtype)),
+            lambda: make_sweep(R, cap_rounds),
+            (pts, tri_v, tri_n, cc, dirty),
+        )
         tri_v, tri_n, cc, dirty, used, nd, _ = sw(
             pts, tri_v, tri_n, cc, dirty
         )
@@ -925,7 +935,7 @@ def build_2d_chunked(
         nd = int(nd)
         if nd == 0:
             break
-        if used == sweep_rounds:
+        if used == cap_rounds:
             # Cap-limited (the per-dispatch round bound keeps a single
             # device execution under the TPU runtime watchdog) — still
             # progressing, keep sweeping.
