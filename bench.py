@@ -133,22 +133,27 @@ def bench_build_and_queries(extra):
                 grid_res=512,
             )
         resp = dt.response_for_build(shuf, values).astype(jnp.float32)
-        cells = dt.build_cell_index(tri.cast(jnp.float32))
         tri32 = tri.cast(jnp.float32)
+        cells = dt.build_cell_index(tri32)
+        # Per-triangle response triplets: one [B, 3] row gather at eval
+        # instead of a two-level vertex-id -> response gather (~25%).
+        resp_tri = dt.vertex_responses(tri32, resp)
         chunk = 5_000_000
         # big arrays must ride as jit ARGUMENTS — closing over them
         # serializes them into the axon remote-compile request (HTTP 413)
         f = jax.jit(
-            lambda t, r, q, c: dt.interp(t, r, q, method="cells", cells=c)
+            lambda t, rt, q, c: dt.interp(
+                t, None, q, method="cells", cells=c, resp_tri=rt
+            )
         )
         Q = jnp.asarray(
             rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32
         )
-        jax.block_until_ready(f(tri32, resp, Q, cells))
+        jax.block_until_ready(f(tri32, resp_tri, Q, cells))
         n_chunks = 20  # 100M total
         t0 = time.perf_counter()
         for _ in range(n_chunks):
-            out = f(tri32, resp, Q, cells)
+            out = f(tri32, resp_tri, Q, cells)
         jax.block_until_ready(out)
         dt_s = time.perf_counter() - t0
         extra["queries_100m"] = {

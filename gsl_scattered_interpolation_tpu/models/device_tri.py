@@ -929,9 +929,12 @@ def locate_cells(
         )
 
     # Tiered compaction: tiny buffer for the common sub-1% fallback rate,
-    # a bigger one at cap, full masked walk beyond.
+    # a middle one for the ~1% regime (walking a B/16 buffer for 30k
+    # misses costs ~3x the whole locate), the big buffer at cap, full
+    # masked walk beyond.
     cap_small = max(min(1024, B), B // 256)
-    cap_big = max(min(4096, B), B // fallback_frac)
+    cap_mid = max(min(8192, B), B // 64)
+    cap_big = max(min(65536, B), B // fallback_frac)
 
     leaf, w, in_domain = jax.lax.cond(
         nbad == 0,
@@ -940,7 +943,12 @@ def locate_cells(
             nbad <= cap_small,
             make_few(cap_small),
             lambda args2: jax.lax.cond(
-                nbad <= cap_big, make_few(cap_big), fallback_many, args2
+                nbad <= cap_mid,
+                make_few(cap_mid),
+                lambda args3: jax.lax.cond(
+                    nbad <= cap_big, make_few(cap_big), fallback_many, args3
+                ),
+                args2,
             ),
             args,
         ),

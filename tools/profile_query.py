@@ -44,21 +44,22 @@ def timeit(name, fn, reps=4):
     print(f"{name:34s} {min(ts)*1e3:8.1f} ms  {mq:6.1f} Mq/s  (" +
           " ".join(f"{t*1e3:.0f}" for t in ts) + ")", flush=True)
 
-# 1. table gather only
+# big arrays must ride as jit ARGUMENTS (axon remote-compile 413)
 G, K = cells.res, cells.k
 @jax.jit
-def gather_only(q):
-    q_std = geometry.standardize(q, tri32.shift, tri32.scale)
+def _gather_only(tbl, sh, sc, q):
+    q_std = geometry.standardize(q, sh, sc)
     cell = jnp.clip(jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1)
     cid = cell[:, 0] * G + cell[:, 1]
-    return jnp.sum(cells.table[cid], axis=-1)
+    return jnp.sum(tbl[cid], axis=-1)
 
-# 2. locate without fallback
-loc_none = jax.jit(lambda q: dt.locate_cells(tri32, cells, q, fallback="none"))
-# 3. locate with fallback
-loc_full = jax.jit(lambda q: dt.locate_cells(tri32, cells, q))
-# 4. full interp
-f_int = jax.jit(lambda q: dt.interp(tri32, resp, q, method="cells", cells=cells))
+gather_only = lambda q: _gather_only(cells.table, tri32.shift, tri32.scale, q)
+_ln = jax.jit(lambda t, c, q: dt.locate_cells(t, c, q, fallback="none"))
+loc_none = lambda q: _ln(tri32, cells, q)
+_lf = jax.jit(lambda t, c, q: dt.locate_cells(t, c, q))
+loc_full = lambda q: _lf(tri32, cells, q)
+_fi = jax.jit(lambda t, r, q, c: dt.interp(t, r, q, method="cells", cells=c))
+f_int = lambda q: _fi(tri32, resp, Q if q is None else q, cells)
 # 5. walk only (for reference, smaller B)
 timeit("table gather only", gather_only)
 timeit("locate_cells fallback=none", loc_none)
