@@ -220,7 +220,8 @@ def fit(
     origin = np.asarray(grid.origin, np.float64)
 
     def solve_chunk(args):
-        xb, vb, cc = args  # [c, W, 2], [c, W], [c, 2]
+        xb, vb, cc = args  # [c, Ws, 2], [c, Ws], [c, 2]
+        Ws = xb.shape[1]
         u = (xb - cc[:, None, :]) / rad
         pad_row = jnp.any(jnp.abs(u) > 100.0, axis=-1)  # poison slots
         u = jnp.where(pad_row[..., None], 0.0, u)
@@ -229,7 +230,7 @@ def fit(
         A = _phi_tps(r)
         keep = ~pad_row
         A = jnp.where(keep[:, :, None] & keep[:, None, :], A, 0.0)
-        eye = jnp.eye(W, dtype=A.dtype)
+        eye = jnp.eye(Ws, dtype=A.dtype)
         A = A + jnp.where(pad_row[:, :, None], eye, 0.0)
         A = A + smooth * eye
         P = jnp.concatenate(
@@ -258,9 +259,27 @@ def fit(
             sol = jnp.linalg.solve(K, rhs[..., None])[..., 0]
         else:
             sol = _plu_solve_batched(K, rhs)
-        lam = sol[:, :W] * keep
-        poly = sol[:, W:]
+        lam = sol[:, :Ws] * keep
+        poly = sol[:, Ws:]
         return lam, poly
+
+    # Patch width: W = 9*cap is sized by the WORST single cell times 9 —
+    # the actual 9-cell neighborhood populations are far smaller (mean
+    # ~9*target), and the patch LU costs O(width^3).  When the grid is on
+    # the host, compact every neighborhood to the max POPULATED count
+    # (exactly the same system minus decoupled identity pad rows; LU is
+    # ~5x cheaper at the typical cap).
+    if host_path:
+        counts = (np.asarray(grid.slot_site) >= 0).sum(-1)  # [Gy, Gx]
+        padded = np.pad(counts, 1)
+        conv9 = sum(
+            padded[1 + di : Gy + 1 + di, 1 + dj : Gx + 1 + dj]
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        )
+        W2 = min(W, max(32, int(-(-int(conv9.max()) // 8) * 8)))
+    else:
+        W2 = W
 
     def pipeline(xs_pad, v_pad):
         """Neighborhoods + chunked patch solves (runs on either backend)."""
@@ -273,20 +292,30 @@ def fit(
         v9f = v9.reshape(-1, W)
         cf = centers.reshape(-1, 2)
         C = xs9f.shape[0]
+        if W2 < W:
+            # Stable valid-slots-first compaction to [C, W2]; the model
+            # stores the compacted patches (evaluate() is width-agnostic,
+            # poison slots carry lam = 0).
+            invalid = (xs9f[..., 0] > _POISON / 2).astype(jnp.int32)
+            order = jnp.argsort(invalid, axis=1, stable=True)[:, :W2]
+            xs9f = jnp.take_along_axis(xs9f, order[..., None], 1)
+            v9f = jnp.take_along_axis(v9f, order, 1)
+        Wc = xs9f.shape[1]
         padc = (-C) % chunk
         chunked = (
             jnp.concatenate(
-                [xs9f, jnp.full((padc, W, 2), _POISON, dtype)]
-            ).reshape(-1, chunk, W, 2),
+                [xs9f, jnp.full((padc, Wc, 2), _POISON, dtype)]
+            ).reshape(-1, chunk, Wc, 2),
             jnp.concatenate(
-                [v9f, jnp.zeros((padc, W), dtype)]
-            ).reshape(-1, chunk, W),
+                [v9f, jnp.zeros((padc, Wc), dtype)]
+            ).reshape(-1, chunk, Wc),
             jnp.concatenate(
                 [cf, jnp.zeros((padc, 2), dtype)]
             ).reshape(-1, chunk, 2),
         )
         lam, poly = jax.lax.map(solve_chunk, chunked)
-        lam = lam.reshape(-1, W)[:C].reshape(Gy, Gx, W)
+        xs9 = xs9f.reshape(Gy, Gx, Wc, 2)
+        lam = lam.reshape(-1, Wc)[:C].reshape(Gy, Gx, Wc)
         poly = poly.reshape(-1, 3)[:C].reshape(Gy, Gx, 3)
         return xs9, lam, poly
 
