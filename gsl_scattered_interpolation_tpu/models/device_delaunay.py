@@ -50,6 +50,7 @@ import numpy as np
 
 from ..ops import geometry, robust
 from ..utils import machine
+from ..utils.aot import aot_compile as _aot_compile
 
 INT_MAX = np.iinfo(np.int32).max
 
@@ -676,37 +677,6 @@ def build_2d(
     final, _ = _flip_rounds(pts, final, max_flip_rounds, relocate=False)
     alive = final.tri_v[:, 0] >= 0
     return final.tri_v, final.tri_n, alive, final.n_tris
-
-
-_AOT_CACHE: dict = {}
-
-
-def _aot_compile(label, make_jit, example_args):
-    """Trace+lower+compile a jitted function EXPLICITLY, memoized module-wide.
-
-    Two reasons this exists (both measured on the axon v5e runtime):
-
-    * a FRESH ``jax.jit`` instance's first ``__call__`` costs ~20 s even
-      when the persistent compile cache is warm — the explicit AOT path
-      (``f.trace(...).lower().compile()``) loads the same cached program
-      in ~5 s;
-    * ``build_2d_chunked`` used to create its jit wrappers per CALL, so
-      every build paid that overhead again for every (cap, R, rsite)
-      combination.  The compiled executables are process-wide — a second
-      build with the same shapes dispatches directly.
-
-    ``label`` + the example args' shapes/dtypes form the memo key (statics
-    must be part of ``label``).
-    """
-    key = (label,) + tuple(
-        (tuple(a.shape), str(a.dtype)) if hasattr(a, "shape") else a
-        for a in jax.tree_util.tree_leaves(example_args)
-    )
-    ent = _AOT_CACHE.get(key)
-    if ent is None:
-        ent = make_jit().trace(*example_args).lower().compile()
-        _AOT_CACHE[key] = ent
-    return ent
 
 
 def build_2d_chunked(

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rbf
-from ..utils import config, errors
+from ..utils import aot, config, errors
 
 HIGHEST = jax.lax.Precision.HIGHEST
 # Pad-slot coordinate: far outside any standardized data range so every
@@ -275,17 +275,25 @@ class CompactRbf:
         y_pad = pack_values(self.grid, jnp.asarray(values, dtype))
 
         phi = self.kernel.phi
-        fit = jax.jit(
-            lambda grid, eps_, sm_, y: _cg_pad(
-                grid, phi, eps_, sm_, y, tol=tol, maxiter=maxiter
-            )
-        )
-        lam_pad, rs, it = fit(
+        # AOT-compiled through the shared executable cache: a fresh jit
+        # instance per constructed model costs ~8-20s of trace/cache-load
+        # on this runtime even when the program itself is cached.
+        args = (
             self.grid,
             jnp.asarray(self.epsilon, dtype),
             jnp.asarray(self.smooth, dtype),
             y_pad,
         )
+        fit = aot.aot_compile(
+            ("compact_cg", self.kernel.name, float(tol), int(maxiter)),
+            lambda: jax.jit(
+                lambda grid, eps_, sm_, y: _cg_pad(
+                    grid, phi, eps_, sm_, y, tol=tol, maxiter=maxiter
+                )
+            ),
+            args,
+        )
+        lam_pad, rs, it = fit(*args)
         self.lam_pad = lam_pad
         self.cg_iters = int(it)
         self.cg_residual = float(jnp.sqrt(rs))
