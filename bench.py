@@ -110,6 +110,19 @@ def bench_build_and_queries(extra):
             grid_res=512,
         )
         t_build = time.perf_counter() - t0
+        # Steady-state build: the first build in a process additionally
+        # pays ~10-15s of one-time executable loading through the axon
+        # compile tunnel (see utils/aot.py); a service building many
+        # triangulations per process runs at this rate.
+        t0 = time.perf_counter()
+        tri, shuf = dd.triangulate(
+            sites,
+            flags=ht.NOSTANDARDIZE,
+            dtype=jnp.float32,
+            chunk_threshold=400_000,
+            grid_res=512,
+        )
+        t_steady = time.perf_counter() - t0
         from scipy.spatial import Delaunay as ScipyDelaunay
 
         t0 = time.perf_counter()
@@ -117,10 +130,15 @@ def bench_build_and_queries(extra):
         t_qhull = time.perf_counter() - t0
         extra["build_1m"] = {
             "tpu_s": round(t_build, 1),
+            "tpu_steady_s": round(t_steady, 1),
             "qhull_s": round(t_qhull, 1),
             "vs_qhull": round(t_qhull / t_build, 3),
+            "vs_qhull_steady": round(t_qhull / t_steady, 3),
         }
-        _log(f"build_1m: tpu {t_build:.1f}s vs qhull {t_qhull:.1f}s")
+        _log(
+            f"build_1m: tpu {t_build:.1f}s (steady {t_steady:.1f}s) "
+            f"vs qhull {t_qhull:.1f}s"
+        )
     else:
         tri, shuf = None, None
 
