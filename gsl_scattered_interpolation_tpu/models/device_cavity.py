@@ -97,7 +97,7 @@ def init_state(pts, N: int, M: int, n_real=None) -> CavityState:
 
 
 def _insphere_det(verts, q):
-    """Direct in-circumsphere determinant test, any d in {2, 3}.
+    """Direct in-circumsphere determinant test, any d (closed form for 2/3).
 
     ``det[(v_i - q | |v_i - q|^2)] * sign(orient(verts))`` is positive iff
     q lies strictly inside the circumsphere.  Unlike the cached-center
@@ -151,7 +151,17 @@ def _insphere_det(verts, q):
         e = verts[..., 1:, :] - verts[..., :1, :]       # [.., 3, 3]
         orient = det3(e)
     else:
-        raise NotImplementedError("insphere det: d in {2, 3}")
+        # Generic d: batched determinant of the lifted [d+1, d+1] matrix.
+        # The predicate's sign alternates with d (expansion along the
+        # lift column): inside <=> (-1)^d det(rel | lift) orient > 0 —
+        # matches the closed 2D (+) and 3D (-) forms above.  LAPACK det
+        # on the CPU backend is the supported regime for d >= 4 (this
+        # TPU's batched f32 LU is bf16-corrupted and its f64 LinAlg is
+        # unimplemented).
+        rows = jnp.concatenate([rel, lift[..., None]], axis=-1)
+        det = jnp.linalg.det(rows) * ((-1.0) ** d)
+        e = verts[..., 1:, :] - verts[..., :1, :]       # [.., d, d]
+        orient = jnp.linalg.det(e)
     inside = det * jnp.sign(orient) > 0
     return jnp.where(orient == 0, True, inside)
 
@@ -592,7 +602,9 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
     dtype = sites_std.dtype
     if slots_per_site is None:
         # steady-state simplex counts: ~2N (d=2), ~6.8N (d=3) + transient
-        slots_per_site = 2.2 if d == 2 else 9.0 if d == 3 else 12.0
+        # expected simplex-per-site counts for uniform random input
+        # grow steeply with d (~2N in 2D, ~6.8N in 3D, ~31N in 4D)
+        slots_per_site = {2: 2.2, 3: 9.0, 4: 45.0}.get(d, 100.0)
     M = int(slots_per_site * N) + 16 * (d + 1)
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
     st = init_state(pts, N, M, n_real)
@@ -649,6 +661,7 @@ def triangulate(
     grid_res: int = 256,
     cavity_cap: int = 32,
     s_cap: int = 2048,
+    slots_per_site: float | None = None,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -704,6 +717,7 @@ def triangulate(
         cage_std,
         cavity_cap=cavity_cap,
         s_cap=s_cap,
+        slots_per_site=slots_per_site,
         n_real=n,
     )
     points_raw = np.concatenate([cage_raw, sites_shuffled])

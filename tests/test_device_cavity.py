@@ -161,3 +161,26 @@ class TestDegenerate:
             tri.tri_nbrs,
             n_data=len(sites),
         )
+
+
+class TestCavity4D:
+    def test_matches_host_oracle(self):
+        # Arbitrary-d parity (reference README:19 plans "arbitrary
+        # dimensions"; the engine's generic-d in-sphere uses the batched
+        # lifted determinant): the 4D device build must reproduce the
+        # host cavity oracle's simplex set exactly on generic input.
+        n = 60
+        sites = _rand(n, 4, seed=44)
+        tri, shuffle = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(dt.freeze(tree).tri_verts)
+        }
+        assert _canon(tri, shuffle, 4) == host
