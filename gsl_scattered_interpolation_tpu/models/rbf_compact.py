@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rbf
-from ..utils import aot, config, errors
+from ..utils import aot, config, errors, machine
 
 HIGHEST = jax.lax.Precision.HIGHEST
 # Pad-slot coordinate: far outside any standardized data range so every
@@ -212,6 +212,102 @@ def _cg_pad(grid, phi, eps, smooth, y_pad, tol, maxiter):
     return x, rs, it
 
 
+def _block_jacobi_inv(grid: CellGrid, phi, eps, smooth):
+    """Per-cell kernel-block inverses, [Gy, Gx, cap, cap].
+
+    The within-cell restriction of A is itself a Wendland Gram matrix
+    (SPD); pad slots are exact identity rows for free (phi(0)=1 on the
+    diagonal, poison distances kill every off-diagonal).  Inverted once
+    with batched pivot-free Gauss-Jordan — SPD needs no pivoting, and the
+    batched jnp.linalg path is off-limits on this TPU (bf16-corrupted
+    LU).  Applying M^-1 is then one batched [cap, cap] matmul per cell.
+    """
+    xs = grid.xs_pad
+    diff = xs[:, :, :, None, :] - xs[:, :, None, :, :]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    cap = xs.shape[2]
+    eye = jnp.eye(cap, dtype=xs.dtype)
+    # Pad slots all sit at the SAME poison coordinate, so phi would give
+    # them a singular all-ones block: force exact identity rows/columns
+    # outside the real slots.
+    keep = grid.slot_site >= 0
+    # The within-cell Gram is ill-conditioned (near-flat kernel at
+    # sub-support spacing): an unregularized f32 elimination produces a
+    # garbage inverse that STALLS the PCG it is meant to accelerate
+    # (measured: capped at |r|/|b| ~ 1e-2).  A small ridge caps the
+    # block condition at ~1/delta — the preconditioner only shapes
+    # search directions, so the clipped tail eigenvalues cost extra
+    # iterations, not accuracy.  delta is dtype-scaled: f64 blocks can
+    # afford the near-exact inverse.
+    delta = 100.0 * float(np.sqrt(machine.eps(xs.dtype)))
+    B = phi(r, eps) + (smooth + delta) * eye
+    B = jnp.where(keep[..., :, None] & keep[..., None, :], B, eye)
+    M = jnp.concatenate([B, jnp.broadcast_to(eye, B.shape)], axis=-1)
+
+    # Unrolled over the (static, small) cap: traced pivot indices can't
+    # slice, and flat programs load faster than loop-nested ones anyway.
+    for i in range(cap):
+        row = M[..., i, :] / M[..., i, i : i + 1]
+        M = M - M[..., :, i : i + 1] * row[..., None, :]
+        M = M.at[..., i, :].set(row)
+    return M[..., :, cap:]
+
+
+def _pcg_pad(grid, phi, eps, smooth, y_pad, tol, maxiter):
+    """Block-Jacobi preconditioned CG on the padded layout.
+
+    Plain CG on the 1M-site Wendland system stalls against its iteration
+    cap (~40 coupled neighbors per site); the per-cell block inverse
+    captures the strongest coupling and roughly halves the iterations per
+    digit.  The preconditioner application runs at default (bf16 MXU)
+    precision — it only shapes the search directions, the residual and
+    solution are untouched — while the operator matvec keeps HIGHEST.
+    Stopping stays on the TRUE residual |r|^2 <= tol^2 |b|^2, identical
+    to :func:`_cg_pad`.
+    """
+    mask = (grid.slot_site >= 0).astype(y_pad.dtype)
+    Binv = _block_jacobi_inv(grid, phi, eps, smooth)
+
+    def dot(a, b):
+        return jnp.sum(a * b * mask)
+
+    def mv(v):
+        return matvec_pad(grid, phi, eps, smooth, v) * mask
+
+    def prec(r):
+        # HIGHEST: a bf16 preconditioner application makes M effectively
+        # unsymmetric between iterations and CG stalls (measured: 400
+        # capped iterations at |r|/|b| ~ 1e-2 vs convergence in f32).
+        return (
+            jnp.einsum("yxij,yxj->yxi", Binv, r, precision=HIGHEST) * mask
+        )
+
+    b2 = dot(y_pad, y_pad)
+    target = tol * tol * b2
+
+    def cond(state):
+        *_, rr, _rz, it = state
+        return jnp.logical_and(rr > target, it < maxiter)
+
+    def body(state):
+        x, r, p, rr, rz, it = state
+        Ap = mv(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = dot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, dot(r, r), rz_new, it + 1
+
+    z0 = prec(y_pad)
+    x, _, _, rr, _, it = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros_like(y_pad), y_pad, z0, b2, dot(y_pad, z0), jnp.int32(0)),
+    )
+    return x, rr, it
+
+
 class CompactRbf:
     """Wendland-C2 interpolant built on the cell list (strictly PD, d<=3).
 
@@ -285,9 +381,9 @@ class CompactRbf:
             y_pad,
         )
         fit = aot.aot_compile(
-            ("compact_cg", self.kernel.name, float(tol), int(maxiter)),
+            ("compact_pcg", self.kernel.name, float(tol), int(maxiter)),
             lambda: jax.jit(
-                lambda grid, eps_, sm_, y: _cg_pad(
+                lambda grid, eps_, sm_, y: _pcg_pad(
                     grid, phi, eps_, sm_, y, tol=tol, maxiter=maxiter
                 )
             ),
