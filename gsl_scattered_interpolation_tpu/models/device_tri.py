@@ -743,30 +743,61 @@ def build_cell_index(
 
     big = span > 4096
     emit_bbox(~big)
-    # Exact per-cell test for the few huge triangles (cage slivers).
-    for t in np.nonzero(big)[0]:
-        xs = np.arange(lo[t, 0], hi[t, 0] + 1)
-        ys = np.arange(lo[t, 1], hi[t, 1] + 1)
-        cx = (xs + 0.5) * cell_w - 0.5
-        cy = (ys + 0.5) * cell_w - 0.5
-        CX, CY = np.meshgrid(cx, cy, indexing="ij")
-        a, b, c = verts[t]
-        area = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-        # CCW-normalized inward distance: cell intersects the triangle only
-        # if its center is within half a cell diagonal of every edge's
-        # inner half-plane (conservative dilation).
-        sgn = 1.0 if area >= 0 else -1.0
-        ok = np.ones(CX.shape, bool)
-        for p, qv in ((a, b), (b, c), (c, a)):
-            ex, ey = qv[0] - p[0], qv[1] - p[1]
-            el = np.hypot(ex, ey)
-            if el == 0:
-                continue
-            inward = sgn * (ex * (CY - p[1]) - ey * (CX - p[0])) / el
-            ok &= inward >= -half_diag
-        ii, jj = np.nonzero(ok)
-        pair_tri.append(np.full(ii.size, t, np.int64))
-        pair_cell.append((lo[t, 0] + ii) * G + (lo[t, 1] + jj))
+    # Exact SCANLINE rasterization for the few huge triangles (cage
+    # slivers whose bbox covers most of the grid): per x-row, the
+    # half-diagonal-dilated inner half-planes give a closed-form y-cell
+    # interval — the band a sliver actually touches is O(G) cells, where
+    # the old per-cell meshgrid test was O(G^2) per sliver (a Python loop
+    # burning ~20 s of the 1M-site index build).
+    big_ids = np.nonzero(big)[0]
+    if big_ids.size:
+        bv = verts[big_ids]                      # [B, 3, 2]
+        area = (bv[:, 1, 0] - bv[:, 0, 0]) * (bv[:, 2, 1] - bv[:, 0, 1]) - (
+            bv[:, 1, 1] - bv[:, 0, 1]
+        ) * (bv[:, 2, 0] - bv[:, 0, 0])
+        sgn = np.where(area >= 0, 1.0, -1.0)
+        p = bv                                   # edge tails
+        qv = bv[:, [1, 2, 0], :]                 # edge heads
+        ex = qv[..., 0] - p[..., 0]              # [B, 3]
+        ey = qv[..., 1] - p[..., 1]
+        el = np.hypot(ex, ey)
+        el = np.where(el == 0, 1.0, el)
+        alpha = sgn[:, None] * ex / el           # inward = alpha*CY - beta'
+        rows_per = (hi[big_ids, 0] - lo[big_ids, 0] + 1).astype(np.int64)
+        rep = np.repeat(np.arange(big_ids.size), rows_per)
+        k = np.arange(rows_per.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(rows_per) - rows_per, rows_per
+        )
+        xrow = lo[big_ids[rep], 0] + k
+        CXr = (xrow + 0.5) * cell_w - 0.5        # [R]
+        # constraint per edge: alpha*CY >= beta, from
+        # sgn*(ex*(CY-py) - ey*(CX-px))/el >= -half_diag
+        beta = (
+            -half_diag
+            + sgn[rep, None] * ey[rep] * (CXr[:, None] - p[rep, :, 0]) / el[rep]
+            + alpha[rep] * p[rep, :, 1]
+        )                                        # [R, 3]
+        al = alpha[rep]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lb = np.where(al > 0, beta / al, -np.inf)
+            ub = np.where(al < 0, beta / al, np.inf)
+        feas_eq = np.all((al != 0) | (beta <= 0), axis=1)
+        ylo = lb.max(axis=1)
+        yhi = ub.min(axis=1)
+        jlo = np.ceil((ylo + 0.5) / cell_w - 0.5).astype(np.int64)
+        jhi = np.floor((yhi + 0.5) / cell_w - 0.5).astype(np.int64)
+        jlo = np.maximum(jlo, lo[big_ids[rep], 1])
+        jhi = np.minimum(jhi, hi[big_ids[rep], 1])
+        width = np.where(feas_eq & (ylo <= yhi), jhi - jlo + 1, 0)
+        width = np.maximum(width, 0)
+        tot = int(width.sum())
+        if tot:
+            rep2 = np.repeat(np.arange(width.size), width)
+            jj = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(width) - width, width
+            )
+            pair_tri.append(big_ids[rep[rep2]])
+            pair_cell.append(xrow[rep2] * G + jlo[rep2] + jj)
 
     cells = np.concatenate(pair_cell)
     tris = np.concatenate(pair_tri)
