@@ -284,7 +284,21 @@ def _round(pts, st: CavityState, S: int, C: int):
     claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
     has = claim != INT_MAX
     rank = jnp.cumsum(has.astype(jnp.int32)) - 1
-    slot = jnp.where(has & (rank < S), rank, S + 1)
+    # When the claims overflow the candidate buffer, pick S of them
+    # EVENLY SPREAD across the claim sequence (proportional rank map)
+    # instead of a row-order prefix: prefix candidates concentrate in one
+    # region of the triangulation, their cavities+halos overlap, and the
+    # independent set collapses (measured at 30k 3D sites: 25 winners out
+    # of 2048 candidates per round; spreading restores a healthy rate).
+    n_claims = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
+    sel = (
+        rank.astype(jnp.int64) * S // n_claims.astype(jnp.int64)
+    ).astype(jnp.int32)
+    prev = (
+        (rank - 1).astype(jnp.int64) * S // n_claims.astype(jnp.int64)
+    ).astype(jnp.int32)
+    picked = has & ((rank == 0) | (sel != prev))
+    slot = jnp.where(picked & (sel < S), sel, S + 1)
     t_all = jnp.arange(M, dtype=jnp.int32)
     cand_tri = jnp.full(S, -1, jnp.int32).at[slot].set(t_all, mode="drop")
     cand_site = jnp.full(S, -1, jnp.int32).at[slot].set(claim, mode="drop")
