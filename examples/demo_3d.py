@@ -47,9 +47,30 @@ def main():
             for i in range(3)
         }
     )
+    # Connected components via union-find over shared edges: an alpha
+    # shape of a noisy sample can enclose small interior bubbles, each a
+    # watertight surface contributing 2 to the Euler characteristic.
+    parent = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    edge_face = {}
+    for fi, t in enumerate(faces):
+        for i in range(3):
+            key = tuple(sorted((int(t[i]), int(t[(i + 1) % 3]))))
+            if key in edge_face:
+                parent[find(edge_face[key])] = find(fi)
+            else:
+                edge_face[key] = fi
+    n_comp = len({find(fi) for fi in range(len(faces))})
     print(
         f"alpha-shape boundary (alpha={alpha:.3f}): {len(faces)} faces, "
-        f"Euler V-E+F = {v - e + len(faces)} (2 = watertight sphere)"
+        f"{n_comp} component(s), Euler V-E+F = {v - e + len(faces)} "
+        f"(2 per watertight component)"
     )
 
 
