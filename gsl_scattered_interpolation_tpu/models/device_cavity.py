@@ -291,14 +291,12 @@ def _round(pts, st: CavityState, S: int, C: int):
     # independent set collapses (measured at 30k 3D sites: 25 winners out
     # of 2048 candidates per round; spreading restores a healthy rate).
     n_claims = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
-    sel = (
-        rank.astype(jnp.int64) * S // n_claims.astype(jnp.int64)
-    ).astype(jnp.int32)
-    prev = (
-        (rank - 1).astype(jnp.int64) * S // n_claims.astype(jnp.int64)
-    ).astype(jnp.int32)
-    picked = has & ((rank == 0) | (sel != prev))
-    slot = jnp.where(picked & (sel < S), sel, S + 1)
+    # Stride map (every ceil(n_claims/S)-th claim): int32-safe — the
+    # proportional form rank*S//n_claims overflows int32 once
+    # M * S > 2^31 (and int64 silently truncates on TPU without x64).
+    stride = jnp.maximum((n_claims + S - 1) // S, 1)
+    picked = has & (rank % stride == 0)
+    slot = jnp.where(picked, rank // stride, S + 1)
     t_all = jnp.arange(M, dtype=jnp.int32)
     cand_tri = jnp.full(S, -1, jnp.int32).at[slot].set(t_all, mode="drop")
     cand_site = jnp.full(S, -1, jnp.int32).at[slot].set(claim, mode="drop")
@@ -595,8 +593,38 @@ def _round_jit(pts, st, S, C):
     return _round(pts, st, S, C)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
+def _k_rounds_jit(pts, st, S, C, k):
+    """Up to ``k`` insertion rounds in ONE device dispatch.
+
+    The device->host scalar sync costs ~0.5 s through the axon tunnel
+    regardless of payload, so one-round-per-dispatch puts a hard ~0.5 s
+    floor under every round; batching rounds in a device ``while_loop``
+    amortizes it (same structure as device_delaunay's ``k_rounds``).
+    ``k`` is a traced operand — one compiled program serves every batch
+    size.  The loop self-terminates on completion or on a zero-winner
+    round (the host escalates the cavity capacity in that case).
+    Returns (state, [rounds_used, n_left] packed) — packing the two
+    scalars means ONE readback per dispatch.
+    """
+    def cond(c):
+        st, it, progress = c
+        return (st.n_left > 0) & (it < k) & progress
+
+    def body(c):
+        st, it, _progress = c
+        st, n_w = _round(pts, st, S, C)
+        return st, it + 1, n_w > 0
+
+    st, it, _ = jax.lax.while_loop(
+        cond, body, (st, jnp.int32(0), True)
+    )
+    return st, jnp.stack([it, st.n_left])
+
+
 def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
-          slots_per_site: float | None = None, n_real: int | None = None):
+          slots_per_site: float | None = None, n_real: int | None = None,
+          k_batch: int = 16):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -606,6 +634,9 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         recompile — persistently cached) if a round ever strands every
         candidate.
       s_cap: max concurrent candidates per round.
+      k_batch: insertion rounds per device dispatch (each dispatch's
+        scalar readback costs ~0.5 s through the axon tunnel; the device
+        loop self-terminates early on completion or a stranded round).
 
     Returns (tri_v [M, d+1], tri_n [M, d+1], alive [M], n_tris).
     """
@@ -632,22 +663,25 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         # compiled round program per (C, bucket) instead of a ladder of
         # 14 — compile via the axon tunnel costs minutes each.
         S = 1 << max(0, (min(N, s_cap) - 1)).bit_length()
-        st, _n_w_dev = _round_jit(pts, st, S, C)
-        # one device->host sync per round (the axon tunnel charges ~0.5s
-        # per readback): derive the winner count from the n_left delta
-        new_left = int(st.n_left)
-        n_w = n_left - new_left
+        st, packed = _k_rounds_jit(pts, st, S, C, jnp.int32(k_batch))
+        # ONE device->host sync per k-round batch (packed scalars).
+        used, new_left = (int(x) for x in np.asarray(packed))
+        progressed = new_left < n_left
         n_left = new_left
-        rounds += 1
-        if n_w == 0 and int(st.n_tris) > M - (2 * C + 2):
-            # the round program refuses wins that would overflow M
-            from ..utils import errors
+        rounds += used
+        if n_left == 0:
+            break
+        if not progressed or used < k_batch:
+            # the batch ended on a zero-winner round: every candidate was
+            # stranded (cavity overflow / capacity refusal)
+            if int(st.n_tris) > M - (2 * C + 2):
+                # the round program refuses wins that would overflow M
+                from ..utils import errors
 
-            raise errors.CapacityError(
-                f"cavity build: slot capacity {M} exhausted "
-                f"({int(st.n_tris)} allocated); raise slots_per_site"
-            )
-        if n_w == 0:
+                raise errors.CapacityError(
+                    f"cavity build: slot capacity {M} exhausted "
+                    f"({int(st.n_tris)} allocated); raise slots_per_site"
+                )
             C *= 2
             config.log.info(
                 "cavity build: round %d stranded, escalating C to %d",
@@ -658,8 +692,8 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
                     "cavity build: cavities exceed 4096 simplexes"
                 )
         config.log.info(
-            "cavity round %d: S=%d winners=%d left=%d %.2fs",
-            rounds, S, n_w, n_left, _time.perf_counter() - t0,
+            "cavity rounds <=%d: S=%d left=%d %.2fs",
+            rounds, S, n_left, _time.perf_counter() - t0,
         )
     alive = st.tri_v[:, 0] >= 0
     return st.tri_v, st.tri_n, alive, st.n_tris
