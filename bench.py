@@ -13,8 +13,10 @@ The ``extra`` field carries the at-scale configs:
                       wall time + max interpolation residual        (config 3)
   * wendland_1m     — compactly-supported Wendland-C2 fit at 1M sites
                       (cell-list CG)                                (config 4)
+  * cavity3d_10k    — 3D device cavity build at 10k sites, accuracy vs
+                      scipy Qhull               (arbitrary-d, README:19)
 
-Set GSI_BENCH_SKIP=build,qscale,tps,wendland to skip parts (comma list);
+Set GSI_BENCH_SKIP=build,qscale,tps,wendland,cavity to skip parts;
 at-scale parts are skipped automatically off-TPU.  First-ever run pays XLA
 compiles through the axon tunnel; the repo ships its persistent compile
 cache (.jax_cache) so driver runs execute from cache.
@@ -181,6 +183,59 @@ def bench_build_and_queries(extra):
         _log(f"queries_100m: {n_chunks*chunk/dt_s/1e6:.1f} Mq/s")
 
 
+def bench_cavity3d(extra):
+    """3D device cavity build (the reference's planned arbitrary-d path,
+    README:19): 10k sites, parallel Bowyer-Watson on TPU, accuracy vs
+    scipy's Qhull-based linear interpolator."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsl_scattered_interpolation_tpu.models import (
+        device_cavity as dc,
+        device_tri as dt,
+        host_tree as ht,
+    )
+
+    N = 10_000
+    rng = np.random.default_rng(13)
+    sites = rng.uniform(-0.5, 0.5, size=(N, 3))
+    t0 = time.perf_counter()
+    tri, shuf = dc.triangulate(
+        sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
+    )
+    t_build = time.perf_counter() - t0
+    vals = np.sin(3 * sites[:, 0]) * np.cos(2 * sites[:, 1]) + sites[:, 2]
+    resp = dt.response_for_build(shuf, vals, d=3).astype(jnp.float32)
+    q = rng.uniform(-0.45, 0.45, size=(20_000, 3))
+    out = np.asarray(
+        dt.interp(
+            tri.cast(jnp.float32),
+            resp,
+            jnp.asarray(q, jnp.float32),
+            method="walk",
+        )
+    )
+    from scipy.interpolate import LinearNDInterpolator
+    from scipy.spatial import Delaunay as ScipyDelaunay
+
+    t0 = time.perf_counter()
+    ScipyDelaunay(sites)
+    t_qhull = time.perf_counter() - t0
+    ref = LinearNDInterpolator(sites, vals)(q)
+    ok = np.isfinite(ref)
+    err = np.abs(out[ok] - ref[ok])
+    extra["cavity3d_10k"] = {
+        "tpu_s": round(t_build, 1),
+        "qhull_s": round(t_qhull, 2),
+        "p999_err_vs_scipy": float(f"{np.quantile(err, 0.999):.3e}"),
+        "max_err_vs_scipy": float(f"{err.max():.3e}"),
+    }
+    _log(
+        f"cavity3d_10k: tpu {t_build:.1f}s vs qhull {t_qhull:.2f}s, "
+        f"p999 err {np.quantile(err, 0.999):.2e}"
+    )
+
+
 def bench_tps(extra):
     """Config 3: thin-plate at 100k sites in < 10 s."""
     import jax
@@ -248,6 +303,7 @@ def main():
             ("build/qscale", bench_build_and_queries),
             ("tps", bench_tps),
             ("wendland", bench_wendland),
+            ("cavity", bench_cavity3d),
         ]:
             if all(p in SKIP for p in name.split("/")):
                 continue
