@@ -163,6 +163,27 @@ class TestDegenerate:
         )
 
 
+class TestEscalation:
+    def test_tiny_cavity_cap_escalates_and_matches(self):
+        # cavity_cap=1 cannot hold real Bowyer-Watson cavities: rounds
+        # strand (overflowing candidates defer), the k-batched device
+        # loop exits early, and the host must escalate C until insertion
+        # completes — the final simplex set must be identical to the
+        # default build's (Delaunay uniqueness on generic input).
+        sites = _rand(120, 3, seed=7)
+        tri_a, shuf_a = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, cavity_cap=1
+        )
+        tri_b, shuf_b = dc.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        assert _canon(tri_a, shuf_a, 3) == _canon(tri_b, shuf_b, 3)
+        integrity.check_arrays(
+            np.asarray(tri_a.points_std),
+            tri_a.tri_verts,
+            tri_a.tri_nbrs,
+            n_data=len(sites),
+        )
+
+
 class TestCavity4D:
     def test_matches_host_oracle(self):
         # Arbitrary-d parity (reference README:19 plans "arbitrary
