@@ -9,6 +9,12 @@ alpha-shape module (README:30).
 Run:  python examples/demo_3d.py
 """
 
+# Runnable as a plain script from anywhere: put the repo root on sys.path.
+import pathlib as _pl
+import sys as _sys
+
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import gsl_scattered_interpolation_tpu as gsi

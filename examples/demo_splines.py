@@ -7,6 +7,12 @@ Run:  python examples/demo_splines.py > /tmp/spline.dat
       gnuplot> plot '/tmp/spline.dat' w lines
 """
 
+# Runnable as a plain script from anywhere: put the repo root on sys.path.
+import pathlib as _pl
+import sys as _sys
+
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from gsl_scattered_interpolation_tpu import spline

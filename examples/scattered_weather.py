@@ -11,6 +11,12 @@ Plot with gnuplot, as the reference suggests (:219-245):
   gnuplot> splot 'plot.dat' with pm3d, 'lines.dat' w lines
 """
 
+# Runnable as a plain script from anywhere: put the repo root on sys.path.
+import pathlib as _pl
+import sys as _sys
+
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+
 import pathlib
 import sys
 import time

@@ -44,9 +44,22 @@ class ScatteredInterp:
         flags: int = DEFAULT,
         key=None,
         engine: str = "auto",
-        dtype=jnp.float64,
+        dtype=None,
         grid_res: int = 256,
     ):
+        if dtype is None:
+            # Platform-aware build dtype: float64 is the GSL-parity regime
+            # on the CPU backend; on TPU f64 is software-emulated — the
+            # cavity round program OOMs HBM at *compile* — so the device
+            # default is float32 (build-path decisions run on compensated
+            # predicates; measured 3D eval accuracy ~2e-7, see README).
+            import jax
+
+            dtype = (
+                jnp.float64
+                if jax.devices()[0].platform == "cpu"
+                else jnp.float32
+            )
         sites = np.asarray(sites, np.float64)
         values = np.asarray(values, np.float64)
         if sites.ndim != 2:
