@@ -52,24 +52,28 @@ def thin(
     """Thin (sites, values) to a subset reproducing all data within tol.
 
     Args:
-      sites: [N, 2] raw coordinates.
+      sites: [N, d] raw coordinates, any d >= 2.
       values: [N].
       tol: absolute reproduction tolerance at dropped sites.
-      seed_frac: initial kept fraction (plus the 4 bbox extremes).
+      seed_frac: initial kept fraction (plus the 2d bbox extremes).
       growth: per-round growth factor of the insertion batch.
       key: shuffle key for the seed subset.
-      builder: per-round triangulation source — "device" (the native
+      builder: per-round triangulation source — "device" (the native 2D
         build; each distinct subset size compiles once) or "qhull"
         (scipy import via geometry_extras.from_scipy_delaunay: no
-        per-size compile, preferable for many small rounds).
+        per-size compile, preferable for many small rounds and the only
+        builder for d > 2 — the thinning loop rebuilds at many distinct
+        subset sizes, which would compile-storm the per-size cavity
+        programs).  Evaluation always runs on the device query path.
 
     Returns ThinResult; ``keep`` indexes rows of ``sites``.
     """
     sites = np.asarray(sites, np.float64)
     values = np.asarray(values, np.float64)
     n, d = sites.shape
-    if d != 2:
-        raise errors.InvalidArgumentError("thinning is 2D for now")
+    if d != 2 and builder == "device":
+        config.log.info("thin: d=%d routed to the qhull builder", d)
+        builder = "qhull"
     if values.shape != (n,):
         raise errors.InvalidArgumentError("values shape mismatch")
 
@@ -103,7 +107,7 @@ def thin(
             tri, shuffle = device_delaunay.triangulate(
                 sites[keep_idx], key=None
             )
-        resp = device_tri.response_for_build(shuffle, values[keep_idx])
+        resp = device_tri.response_for_build(shuffle, values[keep_idx], d=d)
         drop_idx = np.nonzero(~kept)[0]
         if drop_idx.size == 0:
             max_err = 0.0

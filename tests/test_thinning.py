@@ -48,6 +48,25 @@ class TestThin:
         assert tight.max_error <= 0.002
 
 
+    def test_3d_error_bound_holds(self):
+        # Any-d thinning (the reference plans thinning with no dimension
+        # restriction, README:28-29): d=3 routes to the qhull builder.
+        rng = np.random.default_rng(7)
+        sites = rng.uniform(0.0, 2.0, size=(1500, 3))
+        vals = (
+            np.sin(sites[:, 0])
+            + 0.3 * np.cos(2 * sites[:, 1])
+            + 0.2 * sites[:, 2]
+        )
+        tol = 0.05
+        res = thinning.thin(sites, vals, tol=tol, key=6)
+        assert res.max_error <= tol
+        assert res.keep.size < len(sites)
+        drop = np.setdiff1d(np.arange(len(sites)), res.keep)
+        resp = dt.response_for_build(res.shuffle, vals[res.keep], d=3)
+        est = np.asarray(dt.interp(res.tri, resp, sites[drop]))
+        assert np.abs(est - vals[drop]).max() <= tol + 1e-12
+
     def test_device_builder_small(self):
         # The native-device builder path, kept small (one compile/size).
         sites, vals = _smooth_problem(300, seed=9)
