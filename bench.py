@@ -57,11 +57,17 @@ def headline():
     build_s = time.perf_counter() - t0
     tri = dt.freeze(tree, grid_res=128).cast(jnp.float32)
     resp = dt.reindex_response(tree, values).astype(jnp.float32)
+    # Per-triangle response triplets: one [B, 3] row gather at eval time
+    # instead of the two-level vertex-id -> response gather (the same
+    # precompute the 100M-query config uses; ~10% at this T).
+    resp_tri = dt.vertex_responses(tri, resp)
 
     chunk = 1_000_000
     n_chunks = 10
     method = "pallas" if jax.devices()[0].platform == "tpu" else "dense"
-    f = jax.jit(lambda q: dt.interp(tri, resp, q, method=method))
+    f = jax.jit(
+        lambda q: dt.interp(tri, None, q, method=method, resp_tri=resp_tri)
+    )
     Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32)
     jax.block_until_ready(f(Q))  # compile
     t0 = time.perf_counter()
