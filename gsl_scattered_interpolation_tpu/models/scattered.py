@@ -32,6 +32,16 @@ ISOSCALE = host_tree.ISOSCALE
 
 
 class ScatteredInterp:
+    """See module docstring.
+
+    dtype: build-geometry precision.  ``None`` picks float64 on the CPU
+    backend (GSL-parity) and float32 on TPU (the fast path; all build
+    decisions run on compensated predicates, see README for the measured
+    max/p999 eval-error table).  Pass ``"accurate"`` for float64 geometry
+    everywhere — on TPU this routes the build through the host engine,
+    trading build speed for f64-exact predicates.
+    """
+
     name = "linear_simplex"
     min_size = 1
 
@@ -47,12 +57,24 @@ class ScatteredInterp:
         dtype=None,
         grid_res: int = 256,
     ):
-        if dtype is None:
+        if dtype == "accurate":
+            # Maximum-accuracy escape hatch: float64 geometry.  On the CPU
+            # backend this is native; requesting it on TPU routes the
+            # build through the host/CPU f64 path (TPU f64 LinAlg is
+            # unimplemented and the cavity round program OOMs HBM at
+            # compile), keeping device evaluation available via .tri.
+            import jax
+
+            dtype = jnp.float64
+            if jax.devices()[0].platform != "cpu" and engine == "auto":
+                engine = "host"
+        elif dtype is None:
             # Platform-aware build dtype: float64 is the GSL-parity regime
             # on the CPU backend; on TPU f64 is software-emulated — the
             # cavity round program OOMs HBM at *compile* — so the device
             # default is float32 (build-path decisions run on compensated
-            # predicates; measured 3D eval accuracy ~2e-7, see README).
+            # predicates; measured 3D eval accuracy: see README's
+            # max/p999 table — pass dtype="accurate" for f64 geometry).
             import jax
 
             dtype = (

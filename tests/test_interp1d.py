@@ -237,6 +237,13 @@ class TestPeriodicContinuity:
                 dl = float(it.eval_deriv(jnp.asarray(xi - eps)))
                 dr = float(it.eval_deriv(jnp.asarray(xi + eps)))
                 assert abs(dl - dr) < 1e-5, (kind, xi)
+                if kind == "cspline_periodic":
+                    # C2 kernel: second derivative is continuous too
+                    # (test_disc.c iterates DERIV_ORDERS through deriv2;
+                    # akima is C1 only, so deriv2 jumps by design).
+                    d2l = float(it.eval_deriv2(jnp.asarray(xi - eps)))
+                    d2r = float(it.eval_deriv2(jnp.asarray(xi + eps)))
+                    assert abs(d2l - d2r) < 1e-3, (kind, xi)
             # Periodic closure: derivative at both ends matches.
             d0 = float(it.eval_deriv(jnp.asarray(x[0] + eps)))
             dn = float(it.eval_deriv(jnp.asarray(x[-1] - eps)))

@@ -39,7 +39,16 @@ def bench(method, B, n_reps=8):
         )
         args = (tri, resp)
     Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(B, 2)), jnp.float32)
-    jax.block_until_ready(f(Q, jnp.float32(0.0), *args))
+    out0 = f(Q, jnp.float32(0.0), *args)
+    jax.block_until_ready(out0)
+    # Cross-method agreement gate (advisor finding): a broken path must
+    # not report a plausible throughput number.  Both methods locate
+    # exactly, so interpolated values agree to f32 weight noise.
+    ref = np.asarray(
+        dt.interp(tri, resp, Q[:100_000], method="dense")
+    )
+    diff = float(np.max(np.abs(np.asarray(out0[:100_000]) - ref)))
+    assert diff < 1e-3, f"{method} disagrees with dense locate: {diff}"
     t0 = time.perf_counter()
     outs = []
     for i in range(n_reps):
