@@ -44,11 +44,13 @@ escalates the cavity capacity C (rare: a cavity larger than C defers its
 site).  Exactly-degenerate input relies on the same deterministic build-time
 jitter as the 2D engine (device_delaunay.triangulate).
 
-Numerics: predicates run in the array dtype on the *standardized*
-coordinates.  float64 (CPU backend) reproduces the host oracle's simplex set
-exactly on generic-position data; float32 is best-effort (the compensated 2D
-predicates of ops/robust.py have no 3D counterpart yet) — large or
-near-degenerate 3D builds should use float64.
+Numerics: predicates run on the *standardized* coordinates.  In d == 2 and
+d == 3 every build decision (in-sphere, relocation weights) uses the
+compensated double-single predicates of ops/robust.py — signs reliable to
+~2x working precision — so float32 TPU builds are exact on the jittered
+build coordinates; d >= 4 falls back to plain array-dtype arithmetic
+(float64 on the CPU backend reproduces the host oracle's simplex set
+exactly on generic-position data).
 """
 
 from __future__ import annotations
@@ -166,6 +168,50 @@ def _insphere_det(verts, q):
     return jnp.where(orient == 0, True, inside)
 
 
+def _insphere_robust3d(verts, q):
+    """Compensated 3D in-circumsphere (ops/robust.py double-single).
+
+    Same convention as :func:`_insphere_det` (d=3 branch): degenerate
+    (zero-orientation) tets count as containing everything
+    (linear_simplex.c:517-521).  Signs are reliable to ~2x working
+    precision, so f32 TPU builds make geometrically exact verdicts on
+    the 8-ulp-jittered build coordinates — the fix for the 1e-4 eval
+    outliers the plain-f32 predicate produced on near-degenerate tets.
+    """
+    a, b, c, d4 = (
+        verts[..., 0, :], verts[..., 1, :], verts[..., 2, :],
+        verts[..., 3, :],
+    )
+    S = robust.insphere_ds(a, b, c, d4, q)
+    O = robust.orient3d_ds(a, b, c, d4)
+    inside = S * jnp.sign(O) > 0
+    return jnp.where(O == 0, True, inside)
+
+
+def _minw_robust3d(verts, q):
+    """Compensated min-barycentric-weight for 3D relocation.
+
+    Weights are ratios of compensated orient3d determinants (the 3D
+    mirror of :func:`_minw_robust2d`): plain f32 solves misassign
+    boundary sites on fine spacings, seeding wrong-cavity growth.
+    """
+    v0, v1, v2, v3 = (
+        verts[..., 0, :], verts[..., 1, :], verts[..., 2, :],
+        verts[..., 3, :],
+    )
+    D = robust.orient3d_ds(v0, v1, v2, v3)
+    O0 = robust.orient3d_ds(q, v1, v2, v3)
+    O1 = robust.orient3d_ds(v0, q, v2, v3)
+    O2 = robust.orient3d_ds(v0, v1, q, v3)
+    O3 = robust.orient3d_ds(v0, v1, v2, q)
+    ok = D != 0
+    safe = jnp.where(ok, D, 1.0)
+    mn = jnp.minimum(jnp.minimum(O0, O1), jnp.minimum(O2, O3))
+    mx = jnp.maximum(jnp.maximum(O0, O1), jnp.maximum(O2, O3))
+    minw = jnp.where(D > 0, mn, mx) / safe
+    return jnp.where(ok, minw, -jnp.inf)
+
+
 def _insphere_robust2d(verts, q):
     """Compensated 2D in-circumcircle (ops/robust.py double-single).
 
@@ -239,6 +285,8 @@ def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
         )                                              # [S, d+1, d+1, d]
         if d == 2:
             viol = _insphere_robust2d(nb_verts, sites_q[:, None, :])
+        elif d == 3:
+            viol = _insphere_robust3d(nb_verts, sites_q[:, None, :])
         else:
             viol = _insphere_det(nb_verts, sites_q[:, None, :])
         seen = jnp.any(nbrs[:, :, None] == cav[:, None, :], axis=-1)
@@ -543,6 +591,8 @@ def _round(pts, st: CavityState, S: int, C: int):
                 # compensated ratios: f32 plain solves misassign
                 # boundary sites at 1M-site spacings
                 wj = _minw_robust2d(verts, q_b)
+            elif d == 3:
+                wj = _minw_robust3d(verts, q_b)
             else:
                 coords, okc = geometry.bary_coords(verts, q_b)
                 # bary_coords returns weights of vertices 0..d-1;
@@ -742,12 +792,13 @@ def triangulate(
 
     # Deterministic build-time jitter for exactly-degenerate input (see
     # device_delaunay.triangulate); evaluation keeps exact coordinates.
-    # The cavity engine's in-sphere runs in PLAIN dtype arithmetic (no
-    # compensated 3D predicates yet), whose error on O(1) standardized
-    # coords is ~1e2*eps: the f64 jitter is set well above that so that
-    # cospherical ties resolve CONSISTENTLY and cavities stay manifold
-    # (8 ulps = 2e-15 sits inside predicate noise; 2^16 ulps = 1.5e-11 is
-    # still ~1e-10 relative displacement — invisible to interpolation).
+    # d <= 3 build decisions run on compensated predicates — exact on
+    # the jittered coords — so 8 ulps suffice in f32, as in the 2D
+    # engine.  d >= 4 in-sphere runs in PLAIN dtype arithmetic, whose
+    # error on O(1) standardized coords is ~1e2*eps: the f64 jitter is
+    # set well above that so cospherical ties resolve CONSISTENTLY and
+    # cavities stay manifold (2^16 ulps = 1.5e-11 relative — invisible
+    # to interpolation; also keeps f64 oracle-equivalence stable).
     jit_ulps = 8.0 if dtype == jnp.float32 else float(1 << 16)
     jit_mag = jit_ulps * machine.eps(dtype)
     prng = np.random.default_rng(12345)

@@ -81,6 +81,100 @@ def orient2d_ds(a, b, c):
     return h
 
 
+# -- pair helpers (each value is an unevaluated (hi, lo) sum) --------------
+
+
+def _p_add(x, y):
+    return _ds_add(x[0], x[1], y[0], y[1])
+
+
+def _p_sub(x, y):
+    return _ds_add(x[0], x[1], -y[0], -y[1])
+
+
+def _p_mul(x, y, sc):
+    return _ds_mul(x[0], x[1], y[0], y[1], sc)
+
+
+def _p_diff(a, b):
+    """Exact difference of two working-precision scalars as a pair."""
+    return _two_sum(a, -b)
+
+
+def _det3_ds(ax, ay, az, bx, by, bz, cx, cy, cz, sc):
+    """Double-single 3x3 determinant of rows (a, b, c); args are pairs."""
+    m1 = _p_sub(_p_mul(by, cz, sc), _p_mul(bz, cy, sc))
+    m2 = _p_sub(_p_mul(bx, cz, sc), _p_mul(bz, cx, sc))
+    m3 = _p_sub(_p_mul(bx, cy, sc), _p_mul(by, cx, sc))
+    t = _p_sub(_p_mul(ax, m1, sc), _p_mul(ay, m2, sc))
+    return _p_add(t, _p_mul(az, m3, sc))
+
+
+def orient3d_ds(a, b, c, d):
+    """Compensated signed 6x-volume of tet (a, b, c, d); inputs [..., 3].
+
+    Sign reliable to ~2x working precision (the 3D analog of
+    :func:`orient2d_ds`; the reference does all geometry in f64,
+    linear_simplex.c:556-605 — this recovers f64-grade signs from f32
+    inputs).  Positive iff d sees (a, b, c) in counter-clockwise order.
+    """
+    sc = _split_const(a.dtype)
+    rows = []
+    for p in (a, b, c):
+        rows.extend(
+            _p_diff(p[..., j], d[..., j]) for j in range(3)
+        )
+    h, _ = _det3_ds(*rows, sc)
+    return h
+
+
+def insphere_ds(a, b, c, d, e):
+    """Compensated 3D in-circumsphere determinant.
+
+    det[(v_i - e | |v_i - e|^2)] over v in (a, b, c, d), expanded along
+    the lift column — Shewchuk's convention: multiply by
+    ``sign(orient3d_ds(a, b, c, d))``; the product is positive iff e
+    lies strictly inside the circumsphere.  (device_cavity._insphere_det
+    reaches the same verdicts through an opposite-parity orientation
+    row basis; verdict equivalence is tested.)  Fixed two-level
+    double-single
+    expansion (no adaptivity): signs are reliable down to ~1e-13
+    relative in float32 — below the 8-ulp build jitter, so every
+    in-sphere verdict on jittered input is geometrically meaningful
+    (the 2D engine's lesson, applied to d=3).
+    """
+    sc = _split_const(a.dtype)
+
+    def rel(p):
+        return [_p_diff(p[..., j], e[..., j]) for j in range(3)]
+
+    ra, rb, rc, rd = rel(a), rel(b), rel(c), rel(d)
+
+    def lift(r):
+        s = _p_add(
+            _p_add(_p_mul(r[0], r[0], sc), _p_mul(r[1], r[1], sc)),
+            _p_mul(r[2], r[2], sc),
+        )
+        return s
+
+    la, lb, lc, ld = lift(ra), lift(rb), lift(rc), lift(rd)
+
+    def det3(r0, r1, r2):
+        return _det3_ds(*r0, *r1, *r2, sc)
+
+    # expansion along the lift column of rows (ra|la, rb|lb, rc|lc, rd|ld):
+    # det = -la*det3(rb,rc,rd) + lb*det3(ra,rc,rd)
+    #       - lc*det3(ra,rb,rd) + ld*det3(ra,rb,rc), then the same global
+    # -1 as _insphere_det's closed form (column-4 cofactor signs).
+    t1 = _p_mul(la, det3(rb, rc, rd), sc)
+    t2 = _p_mul(lb, det3(ra, rc, rd), sc)
+    t3 = _p_mul(lc, det3(ra, rb, rd), sc)
+    t4 = _p_mul(ld, det3(ra, rb, rc), sc)
+    # the renormalized head alone carries the sign (h == 0 => value == 0)
+    acc = _p_add(_p_sub(t2, t1), _p_sub(t4, t3))
+    return acc[0]
+
+
 def incircle_ds(a, b, c, d):
     """Compensated 2D incircle determinant (see geometry/_incircle_det).
 
