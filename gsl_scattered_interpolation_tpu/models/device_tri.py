@@ -247,8 +247,11 @@ def freeze(tree, grid_res: int = 64) -> DeviceTriangulation:
 
     if d == 2:
         grid = _bucket_grid(pts, tv, grid_res)
+    elif d == 3:
+        grid_res = _grid_res_3d(T, grid_res)
+        grid = _bucket_grid(pts, tv, grid_res)
     else:
-        grid = np.zeros((1, 1), dtype=np.int32)
+        grid = np.zeros((1,) * d, dtype=np.int32)
         grid_res = 1
     return DeviceTriangulation(
         points_raw=jnp.asarray(raw),
@@ -268,18 +271,48 @@ def freeze(tree, grid_res: int = 64) -> DeviceTriangulation:
     )
 
 
+def _grid_device(pts_std, tv, grid_res: int, n_alive: int):
+    """Device-side G^d walk-start bucket grid: seed with centroids,
+    dilate to fill (the jit analog of :func:`_bucket_grid`, any d)."""
+    d = pts_std.shape[-1]
+    centroids = geometry.take_rows(pts_std, tv).mean(axis=1)
+    cells = jnp.clip(
+        ((centroids + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
+    )
+    flat = cells[:, 0]
+    for j in range(1, d):
+        flat = flat * grid_res + cells[:, j]
+    g = jnp.full(grid_res**d, -1, jnp.int32).at[flat].set(
+        jnp.arange(n_alive, dtype=jnp.int32)
+    ).reshape((grid_res,) * d)
+
+    def dil_body(g):
+        ng = g
+        for ax in range(d):
+            for s in (1, -1):
+                cand = jnp.roll(g, s, axis=ax)  # wraps: mask the edge
+                idx = [slice(None)] * d
+                idx[ax] = 0 if s == 1 else grid_res - 1
+                cand = cand.at[tuple(idx)].set(-1)
+                ng = jnp.where(ng < 0, cand, ng)
+        return ng
+
+    return jax.lax.while_loop(lambda g: jnp.any(g < 0), dil_body, g)
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7))
-def _freeze_device_2d(
+def _freeze_device(
     points_raw, shift, scale, tri_v, tri_n, alive, n_alive: int, grid_res: int
 ):
-    """Device-side freeze: compaction, neighbor remap, bucket grid.
+    """Device-side freeze: compaction, neighbor remap, bucket grid (any d).
 
-    The host freeze pulls the [2N+3, 3] build arrays through the
-    device->host tunnel (~10s at 1M sites); everything it does is
-    scatter/gather, so at scale it runs on device instead.  ``n_alive``
-    is static — for a completed 2D build it is exactly 2*n_sites + 1.
+    The host freeze pulls the [M, d+1] build arrays through the
+    device->host tunnel (~0.2 MB/s: ~10s at 2D-1M, ~15s at 3D-10k);
+    everything it does is scatter/gather, so at scale it runs on device
+    instead.  ``n_alive`` is static — for a completed 2D build it is
+    exactly 2*n_sites + 1; the cavity engine reads it back once.
     """
-    M = tri_v.shape[0]
+    M, dp1 = tri_v.shape
     kidx = jnp.cumsum(alive.astype(jnp.int32)) - 1
     arange_m = jnp.arange(M, dtype=jnp.int32)
     rows = jnp.zeros(n_alive + 1, jnp.int32).at[
@@ -291,37 +324,16 @@ def _freeze_device_2d(
     tv = tri_v[rows]
     tn_old = tri_n[rows]
     tn = remap[jnp.where(tn_old >= 0, tn_old, M).reshape(-1)].reshape(
-        n_alive, 3
+        n_alive, dp1
     )
     pts_std = scale * (points_raw - shift)
-    # Bucket grid: seed cells with triangle centroids, dilate to fill.
-    centroids = geometry.take_rows(pts_std, tv).mean(axis=1)
-    cells = jnp.clip(
-        ((centroids + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
-    )
-    g = jnp.full(grid_res * grid_res, -1, jnp.int32).at[
-        cells[:, 0] * grid_res + cells[:, 1]
-    ].set(jnp.arange(n_alive, dtype=jnp.int32)).reshape(
-        grid_res, grid_res
-    )
-
-    def dil_body(g):
-        ng = g
-        for ax in (0, 1):
-            for s in (1, -1):
-                cand = jnp.roll(g, s, axis=ax)  # wraps: mask the edge
-                edge = 0 if s == 1 else grid_res - 1
-                cand = (
-                    cand.at[edge, :].set(-1)
-                    if ax == 0
-                    else cand.at[:, edge].set(-1)
-                )
-                ng = jnp.where(ng < 0, cand, ng)
-        return ng
-
-    g = jax.lax.while_loop(lambda g: jnp.any(g < 0), dil_body, g)
+    g = _grid_device(pts_std, tv, grid_res, n_alive)
     aff = affine_maps(points_raw, tv, scale, shift=shift)
     return pts_std, tv, tn, aff, g
+
+
+# Back-compat alias (2D name used by older call sites / cache labels).
+_freeze_device_2d = _freeze_device
 
 
 def from_arrays(
@@ -338,21 +350,30 @@ def from_arrays(
 
     Compacts to alive simplexes and remaps neighbor ids; computes affine
     maps and the bucket grid.  ``points_raw`` rows 0..d are the cage.
-    At scale (>= ``device_freeze_min`` slots, 2D, arrays already on
+    At scale (>= ``device_freeze_min`` slots, d <= 3, arrays already on
     device) the whole assembly runs on device via
-    :func:`_freeze_device_2d`.
+    :func:`_freeze_device`.
     """
+    # 3D gates at 1/4 the slot count: the pull is [M, 4] x 2 arrays and
+    # the 3D build allocates ~9 slots/site, so the tunnel cost bites at
+    # much smaller site counts than in 2D.
+    _min_slots = (
+        device_freeze_min if tri_v.shape[1] == 3 else device_freeze_min // 4
+    )
     if (
         isinstance(tri_v, jax.Array)
-        and tri_v.shape[1] == 3
-        and tri_v.shape[0] >= device_freeze_min
+        and tri_v.shape[1] in (3, 4)
+        and tri_v.shape[0] >= _min_slots
     ):
+        d_ = tri_v.shape[1] - 1
+        if d_ == 3:
+            grid_res = _grid_res_3d(tri_v.shape[0], grid_res)
         dtype = jnp.zeros(0).dtype  # canonical default float
         raw_dev = jnp.asarray(np.asarray(points_raw, np.float64), dtype)
         sh = jnp.asarray(np.asarray(shift, np.float64), dtype)
         sc = jnp.asarray(np.asarray(scale, np.float64), dtype)
         n_alive = int(jnp.sum(alive.astype(jnp.int32)))
-        pts_std, tv, tn, aff, g = _freeze_device_2d(
+        pts_std, tv, tn, aff, g = _freeze_device(
             raw_dev, sh, sc, tri_v, tri_n, alive, n_alive, grid_res
         )
         return DeviceTriangulation(
@@ -383,8 +404,11 @@ def from_arrays(
     pts_std = scale * (points_raw - shift)
     if d == 2:
         grid = _bucket_grid(pts_std, tv, grid_res)
+    elif d == 3:
+        grid_res = _grid_res_3d(tv.shape[0], grid_res)
+        grid = _bucket_grid(pts_std, tv, grid_res)
     else:
-        grid = np.zeros((1, 1), dtype=np.int32)
+        grid = np.zeros((1,) * d, dtype=np.int32)
         grid_res = 1
     return DeviceTriangulation(
         points_raw=jnp.asarray(points_raw),
@@ -402,6 +426,12 @@ def from_arrays(
         grid_tri=jnp.asarray(grid),
         grid_res=grid_res,
     )
+
+
+def _grid_res_3d(n_slots: int, grid_res: int) -> int:
+    """Cap the 3D walk-start grid: ~one simplex per cell, <= 128^3."""
+    auto = int(np.clip(round(n_slots ** (1.0 / 3.0)), 8, 128))
+    return min(grid_res, auto) if grid_res > 1 else auto
 
 
 def response_for_build(shuffle, response, d: int = 2) -> jax.Array:
@@ -606,8 +636,8 @@ def locate_dense(tri: DeviceTriangulation, q_raw, block: int = 65536):
 
 
 def walk_start(tri: DeviceTriangulation, q_raw):
-    """Bucket-grid walk-start hint (2D); simplex 0 otherwise."""
-    if tri.grid_res <= 1 or tri.dim != 2:
+    """G^d bucket-grid walk-start hint (d <= 3); simplex 0 otherwise."""
+    if tri.grid_res <= 1 or tri.dim > 3:
         return jnp.zeros(q_raw.shape[0], jnp.int32)
     q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
     cell = jnp.clip(
@@ -615,7 +645,9 @@ def walk_start(tri: DeviceTriangulation, q_raw):
         0,
         tri.grid_res - 1,
     )
-    return tri.grid_tri[cell[:, 0], cell[:, 1]]
+    if tri.dim == 2:
+        return tri.grid_tri[cell[:, 0], cell[:, 1]]
+    return tri.grid_tri[cell[:, 0], cell[:, 1], cell[:, 2]]
 
 
 # ---------------------------------------------------------------------------
@@ -669,15 +701,18 @@ def _qcentered_tables(tri: DeviceTriangulation):
 def build_cell_index(
     tri: DeviceTriangulation, grid_res: int | None = None, K: int = 16
 ) -> CellIndex:
-    """Rasterize triangles into per-cell candidate lists (freeze-time, host).
+    """Rasterize simplexes into per-cell candidate lists (freeze-time, host).
 
-    Conservative: every (triangle, cell) intersection is listed.  Small-
-    span triangles use their bbox directly; large-span ones (cage slivers
+    Conservative: every (simplex, cell) intersection is listed.  Small-
+    span simplexes use their bbox directly; large-span ones (cage slivers
     whose bbox covers most of the square) get an exact dilated half-plane
-    test so they only land in cells they actually touch.
+    test so they only land in cells they actually touch.  d == 3
+    dispatches to :func:`_build_cell_index_3d` (13-float packed rows).
     """
+    if tri.dim == 3:
+        return _build_cell_index_3d(tri, grid_res, K)
     if tri.dim != 2:
-        raise NotImplementedError("cell index is 2D")
+        raise NotImplementedError("cell index is 2D/3D")
     pts = np.asarray(tri.points_std, np.float64)
     tv = np.asarray(tri.tri_verts)
     T = tv.shape[0]
@@ -852,6 +887,196 @@ def build_cell_index(
     )
 
 
+def _build_cell_index_3d(
+    tri: DeviceTriangulation, grid_res: int | None = None, K: int = 24
+) -> CellIndex:
+    """3D cell-candidate index: conservative tet rasterization.
+
+    Packs each candidate as 13 floats, field-major within the row —
+    the q-centered affine rows (g 3x3, bias 3) + the tet id as a float
+    (exact for T < 2^24).  Small-bbox tets emit their bbox cells
+    filtered by a half-diagonal-dilated face-plane test; big-bbox tets
+    (cage slivers) run the same test chunked so host memory stays
+    bounded.  Cells with more than K intersecting tets are marked
+    overflow (queries there take the walk fallback), preserving the
+    exact-coverage guarantee of the 2D index.
+    """
+    pts = np.asarray(tri.points_std, np.float64)
+    tv = np.asarray(tri.tri_verts)
+    T = tv.shape[0]
+    if grid_res is None:
+        grid_res = int(np.clip(round((max(T, 1) / 4.0) ** (1.0 / 3.0)),
+                               8, 256))
+    G = int(grid_res)
+    cell_w = 1.0 / G
+    half_diag = cell_w * np.sqrt(3.0) / 2.0 + 1e-12
+
+    verts = pts[tv]  # [T, 4, 3]
+    lo = np.clip(
+        np.floor((verts.min(1) + 0.5) * G).astype(np.int64), 0, G - 1
+    )
+    hi = np.clip(
+        np.floor((verts.max(1) + 0.5) * G).astype(np.int64), 0, G - 1
+    )
+    span = np.prod(hi - lo + 1, axis=1)
+
+    # Inward-oriented face planes: face k opposite vertex k; normal
+    # scaled to unit length; keep a cell iff its center is within
+    # half_diag inside EVERY face (conservative for convex tets).
+    normals = np.zeros((T, 4, 3))
+    offsets = np.zeros((T, 4))
+    face_idx = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    for k, (i, j, l) in enumerate(face_idx):
+        a, b, c = verts[:, i], verts[:, j], verts[:, l]
+        n = np.cross(b - a, c - a)
+        ln = np.linalg.norm(n, axis=1)
+        ln = np.where(ln == 0, 1.0, ln)
+        n = n / ln[:, None]
+        # orient toward the opposite vertex
+        s = np.sum(n * (verts[:, k] - a), axis=1)
+        n = np.where(s[:, None] >= 0, n, -n)
+        normals[:, k] = n
+        offsets[:, k] = np.sum(n * a, axis=1)
+
+    pair_cell = []
+    pair_tri = []
+
+    def emit(ids):
+        """Emit (cell, tet) pairs for the given tet ids, chunked."""
+        if ids.size == 0:
+            return
+        nx = hi[ids, 0] - lo[ids, 0] + 1
+        ny = hi[ids, 1] - lo[ids, 1] + 1
+        nz = hi[ids, 2] - lo[ids, 2] + 1
+        cnt = nx * ny * nz
+        CH = 8_000_000  # pair-chunk bound: keeps host memory O(CH)
+        starts = np.concatenate([[0], np.cumsum(cnt)])
+        pos = 0
+        while pos < ids.size:
+            end = int(
+                np.searchsorted(starts, starts[pos] + CH, side="left")
+            )
+            end = max(end, pos + 1)
+            sl = slice(pos, end)
+            rep = np.repeat(ids[sl], cnt[sl])
+            # cell ordinal within each tet's bbox block
+            k = (
+                np.arange(rep.size, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt[sl]) - cnt[sl], cnt[sl])
+            )
+            nxr = np.repeat(nx[sl], cnt[sl])
+            nyr = np.repeat(ny[sl], cnt[sl])
+            dx = k % nxr
+            dy = (k // nxr) % nyr
+            dz = k // (nxr * nyr)
+            cx = lo[rep, 0] + dx
+            cy = lo[rep, 1] + dy
+            cz = lo[rep, 2] + dz
+            C = np.stack(
+                [(cx + 0.5) * cell_w - 0.5,
+                 (cy + 0.5) * cell_w - 0.5,
+                 (cz + 0.5) * cell_w - 0.5], axis=1
+            )
+            keep = np.ones(rep.size, bool)
+            for kf in range(4):
+                d_in = np.sum(normals[rep, kf] * C, axis=1) - offsets[
+                    rep, kf
+                ]
+                keep &= d_in >= -half_diag
+            pair_tri.append(rep[keep].astype(np.int64))
+            pair_cell.append(
+                (cx[keep] * G + cy[keep]) * G + cz[keep]
+            )
+            pos = end
+
+    emit(np.nonzero(span <= 4096)[0])
+    emit(np.nonzero(span > 4096)[0])
+
+    cells_f = np.concatenate(pair_cell) if pair_cell else np.zeros(0, np.int64)
+    tris_f = np.concatenate(pair_tri) if pair_tri else np.zeros(0, np.int64)
+    order = np.argsort(cells_f, kind="stable")
+    cells_f = cells_f[order]
+    tris_f = tris_f[order]
+    counts = np.bincount(cells_f, minlength=G * G * G)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rank = (
+        np.arange(cells_f.size, dtype=np.int64) - starts[cells_f]
+    ).astype(np.int32)
+    keep = rank < K
+    overflow = counts > K
+    rows_k = cells_f[keep]
+    cols_k = rank[keep]
+    tri_k = tris_f[keep]
+
+    # Walk-start hint: first listed tet, else the bucket grid's.
+    hint = np.full(G * G * G, -1, np.int32)
+    first = cols_k == 0
+    hint[rows_k[first]] = tri_k[first].astype(np.int32)
+    empty = hint < 0
+    if empty.any():
+        gr = tri.grid_res
+        fallback = np.asarray(tri.grid_tri).reshape(-1)
+        idx = np.arange(G * G * G)
+        cx = idx // (G * G)
+        cy = (idx // G) % G
+        cz = idx % G
+        gx = np.minimum(cx * gr // G, gr - 1)
+        gy = np.minimum(cy * gr // G, gr - 1)
+        gz = np.minimum(cz * gr // G, gr - 1)
+        hint[empty] = fallback[((gx * gr + gy) * gr + gz)[empty]]
+
+    gmat, bias = _qcentered_tables(tri)
+    gmat = np.asarray(gmat, np.float32).reshape(T, 9)
+    bias = np.asarray(bias, np.float32)
+    packed = np.zeros((G * G * G, 13, K), np.float32)
+    packed[:, 9:12, :] = 1e30
+    packed[:, 12, :] = -1.0
+    for f in range(9):
+        packed[rows_k, f, cols_k] = gmat[tri_k, f]
+    for f in range(3):
+        packed[rows_k, 9 + f, cols_k] = bias[tri_k, f]
+    packed[rows_k, 12, cols_k] = tri_k.astype(np.float32)
+    return CellIndex(
+        table=jnp.asarray(packed.reshape(G * G * G, 13 * K)),
+        overflow=jnp.asarray(overflow),
+        hint=jnp.asarray(hint),
+        res=G,
+        k=K,
+    )
+
+
+def _locate_cells_score_3d(tri, cells, q_raw):
+    """[B] candidate scoring for the 3D index: one [B, 13K] row gather."""
+    G = cells.res
+    K = cells.k
+    dtype = q_raw.dtype
+    q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
+    cell = jnp.clip(
+        jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
+    )
+    cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+    rows = cells.table[cid].astype(dtype)
+    g = [rows[:, f * K : (f + 1) * K] for f in range(9)]
+    b = [rows[:, (9 + f) * K : (10 + f) * K] for f in range(3)]
+    tid = rows[:, 12 * K : 13 * K]
+    dq = [
+        (q_raw[:, j] - tri.shift[j].astype(dtype))[:, None]
+        for j in range(3)
+    ]
+    c0 = g[0] * dq[0] + g[1] * dq[1] + g[2] * dq[2] + b[0]
+    c1 = g[3] * dq[0] + g[4] * dq[1] + g[5] * dq[2] + b[1]
+    c2 = g[6] * dq[0] + g[7] * dq[1] + g[8] * dq[2] + b[2]
+    minw = jnp.minimum(
+        jnp.minimum(jnp.minimum(c0, c1), c2), 1.0 - c0 - c1 - c2
+    )
+    minw = jnp.where(tid >= 0, minw, -jnp.inf)
+    best = jnp.argmax(minw, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], -1)[:, 0]
+    bestw = take(minw)
+    leaf = jnp.maximum(take(tid), 0.0).astype(jnp.int32)
+    return cid, leaf, bestw, q_std
+
+
 def locate_cells(
     tri: DeviceTriangulation,
     cells: CellIndex,
@@ -873,29 +1098,32 @@ def locate_cells(
     G = cells.res
     K = cells.k
     dtype = q_raw.dtype
-    q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
-    cell = jnp.clip(
-        jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
-    )
-    cid = cell[:, 0] * G + cell[:, 1]
-    rows = cells.table[cid].astype(dtype)  # ONE [B, 7K] gather
-    g00 = rows[:, 0 * K : 1 * K]
-    g01 = rows[:, 1 * K : 2 * K]
-    g10 = rows[:, 2 * K : 3 * K]
-    g11 = rows[:, 3 * K : 4 * K]
-    b0 = rows[:, 4 * K : 5 * K]
-    b1 = rows[:, 5 * K : 6 * K]
-    tid = rows[:, 6 * K : 7 * K]
-    qx = (q_raw[:, 0] - tri.shift[0].astype(dtype))[:, None]
-    qy = (q_raw[:, 1] - tri.shift[1].astype(dtype))[:, None]
-    c0 = g00 * qx + g01 * qy + b0
-    c1 = g10 * qx + g11 * qy + b1
-    minw = jnp.minimum(jnp.minimum(c0, c1), 1.0 - c0 - c1)
-    minw = jnp.where(tid >= 0, minw, -jnp.inf)
-    best = jnp.argmax(minw, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, best[:, None], -1)[:, 0]
-    bestw = take(minw)
-    leaf = jnp.maximum(take(tid), 0.0).astype(jnp.int32)
+    if tri.dim == 3:
+        cid, leaf, bestw, q_std = _locate_cells_score_3d(tri, cells, q_raw)
+    else:
+        q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
+        cell = jnp.clip(
+            jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
+        )
+        cid = cell[:, 0] * G + cell[:, 1]
+        rows = cells.table[cid].astype(dtype)  # ONE [B, 7K] gather
+        g00 = rows[:, 0 * K : 1 * K]
+        g01 = rows[:, 1 * K : 2 * K]
+        g10 = rows[:, 2 * K : 3 * K]
+        g11 = rows[:, 3 * K : 4 * K]
+        b0 = rows[:, 4 * K : 5 * K]
+        b1 = rows[:, 5 * K : 6 * K]
+        tid = rows[:, 6 * K : 7 * K]
+        qx = (q_raw[:, 0] - tri.shift[0].astype(dtype))[:, None]
+        qy = (q_raw[:, 1] - tri.shift[1].astype(dtype))[:, None]
+        c0 = g00 * qx + g01 * qy + b0
+        c1 = g10 * qx + g11 * qy + b1
+        minw = jnp.minimum(jnp.minimum(c0, c1), 1.0 - c0 - c1)
+        minw = jnp.where(tid >= 0, minw, -jnp.inf)
+        best = jnp.argmax(minw, axis=-1)
+        take = lambda a: jnp.take_along_axis(a, best[:, None], -1)[:, 0]
+        bestw = take(minw)
+        leaf = jnp.maximum(take(tid), 0.0).astype(jnp.int32)
     # Selection used the f32 q-centered tables; the returned weights come
     # from the anchored affine maps in the query dtype (one cheap row
     # gather) so f64 callers keep full precision.
@@ -1035,7 +1263,7 @@ def interp(
     """
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
-        if cells is not None and tri.dim == 2:
+        if cells is not None and tri.dim in (2, 3):
             method = "cells"
         elif (
             on_tpu

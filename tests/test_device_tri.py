@@ -299,3 +299,57 @@ class TestCellIndex:
         # interior of the data hull: constant-1 response reproduced
         interior = np.asarray(jnp.all(jnp.abs(Q) < 0.35, axis=1))
         np.testing.assert_allclose(out[interior], 1.0, atol=1e-9)
+
+
+class TestCellIndex3d:
+    """3D cell-candidate locate + G^3 walk-start grid."""
+
+    def _tri3(self, n=500, seed=5):
+        rng = np.random.default_rng(seed)
+        sites = rng.uniform(-0.5, 0.5, size=(n, 3))
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        return dt.freeze(tree), sites, tree
+
+    def test_grid3d_built_and_full(self):
+        tri, sites, tree = self._tri3()
+        assert tri.grid_tri.ndim == 3
+        assert tri.grid_res > 1
+        assert int(jnp.min(tri.grid_tri)) >= 0
+
+    def test_walk_start_speeds_walk_and_stays_exact(self):
+        tri, sites, tree = self._tri3()
+        rng = np.random.default_rng(6)
+        q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(2000, 3)))
+        leaf_w, w_w, in_w = dt.locate(tri, q)
+        leaf_d, w_d, in_d = dt.locate_dense(tri, q)
+        np.testing.assert_allclose(
+            np.asarray(w_w.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+
+    def test_cells3d_matches_dense(self):
+        tri, sites, tree = self._tri3()
+        cells = dt.build_cell_index(tri)
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(4000, 3)))
+        resp = jnp.asarray(
+            np.concatenate([np.zeros(4), rng.standard_normal(len(sites))])
+        )
+        v_c = np.asarray(
+            dt.interp(tri, resp, q, method="cells", cells=cells)
+        )
+        v_d = np.asarray(dt.interp(tri, resp, q, method="dense"))
+        np.testing.assert_allclose(v_c, v_d, atol=1e-9)
+
+    def test_cells3d_interp_matches_host_oracle(self):
+        tri, sites, tree = self._tri3(n=300)
+        vals = np.sin(2 * sites[:, 0]) + sites[:, 1] * sites[:, 2]
+        resp = dt.reindex_response(tree, vals)
+        cells = dt.build_cell_index(tri)
+        rng = np.random.default_rng(8)
+        Q = rng.uniform(-0.4, 0.4, size=(200, 3))
+        ours = np.asarray(
+            dt.interp(tri, resp, jnp.asarray(Q), method="cells",
+                      cells=cells)
+        )
+        expect = np.array([tree.interp(vals, q) for q in Q])
+        np.testing.assert_allclose(ours, expect, atol=1e-6)
