@@ -248,23 +248,28 @@ def _minw_robust2d(verts, q):
 
 
 def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
-    """Bounded BFS Bowyer-Watson cavity growth for S candidates.
+    """Bounded frontier-parallel BFS Bowyer-Watson growth for S candidates.
 
     Returns (cav [S, C] simplex ids (-1 pad), n_cav [S], overflow [S]).
-    One cavity member is expanded per loop iteration (its <=d+1 untested
-    neighbors are circumsphere-tested and appended if violating), so
-    membership dedup is a single [S, d+1, C] compare per step and the loop
-    runs at most C iterations.
+    Each loop iteration expands ONE WHOLE BFS LEVEL: the untested
+    neighbors of every frontier member (the slots appended last
+    iteration) are circumsphere-tested together, deduplicated by a
+    per-row sort, and appended by prefix rank — so the loop runs
+    O(cavity diameter) (~3-5) iterations instead of O(cavity size)
+    (~15-25 in 3D).  At ~2-3 ms per post-fusion kernel on this runtime,
+    kernel count — not flops — is the round cost; this is the same
+    lesson the 2D engine's compact rounds encode.
     """
     S = cand_tri.shape[0]
     d = pts.shape[-1]
-    dtype = pts.dtype
+    dp1 = d + 1
     cav0 = jnp.full((S, C), -1, jnp.int32).at[:, 0].set(
         jnp.where(active, cand_tri, -1)
     )
     n0 = jnp.where(active, 1, 0).astype(jnp.int32)
-    ptr0 = jnp.zeros(S, jnp.int32)
+    ptr0 = jnp.zeros(S, jnp.int32)  # frontier start: slots [ptr, n_cav)
     ov0 = jnp.zeros(S, bool)
+    col = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     def cond(c):
         cav, n_cav, ptr, ov = c
@@ -272,40 +277,55 @@ def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
 
     def body(c):
         cav, n_cav, ptr, ov = c
-        act = (ptr < n_cav) & ~ov
-        cur = jnp.take_along_axis(
-            cav, jnp.where(act, ptr, 0)[:, None], axis=1
-        )[:, 0]
-        cur = jnp.where(act, cur, 0)
-        nbrs = geometry.take_rows(st.tri_n, cur)          # [S, d+1]
-        nb_ok = act[:, None] & (nbrs >= 0)
+        frontier = (
+            (col >= ptr[:, None]) & (col < n_cav[:, None]) & ~ov[:, None]
+        )                                               # [S, C]
+        cur = jnp.where(frontier, cav, 0)
+        nbrs = geometry.take_rows(
+            st.tri_n, cur.reshape(-1)
+        ).reshape(S, C, dp1)                            # [S, C, d+1]
+        nb_ok = frontier[:, :, None] & (nbrs >= 0)
         nb_safe = jnp.where(nb_ok, nbrs, 0)
         nb_verts = geometry.take_rows(
-            pts, geometry.take_rows(st.tri_v, nb_safe)
-        )                                              # [S, d+1, d+1, d]
+            pts,
+            geometry.take_rows(
+                st.tri_v, nb_safe.reshape(S, -1)
+            ).reshape(-1),
+        ).reshape(S, C * dp1, dp1, d)
         if d == 2:
             viol = _insphere_robust2d(nb_verts, sites_q[:, None, :])
         elif d == 3:
             viol = _insphere_robust3d(nb_verts, sites_q[:, None, :])
         else:
             viol = _insphere_det(nb_verts, sites_q[:, None, :])
-        seen = jnp.any(nbrs[:, :, None] == cav[:, None, :], axis=-1)
-        add = nb_ok & viol & ~seen                        # [S, d+1]
-        # append at n_cav + prefix-rank within the row
-        rank = jnp.cumsum(add.astype(jnp.int32), axis=1) - 1
-        cnt = jnp.sum(add.astype(jnp.int32), axis=1)
+        seen = jnp.any(
+            nbrs[:, :, :, None] == cav[:, None, None, :], axis=-1
+        )                                               # [S, C, d+1]
+        add = nb_ok & viol.reshape(S, C, dp1) & ~seen
+        # dedup proposals within the level (two frontier members can
+        # share a violating neighbor): sort per row, keep first of runs.
+        prop = jnp.sort(
+            jnp.where(add, nbrs, INT_MAX).reshape(S, C * dp1), axis=1
+        )
+        uniq = prop != INT_MAX
+        uniq = uniq & jnp.concatenate(
+            [jnp.ones((S, 1), bool), prop[:, 1:] != prop[:, :-1]], axis=1
+        )
+        rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+        cnt = jnp.sum(uniq.astype(jnp.int32), axis=1)
+        act = (ptr < n_cav) & ~ov
         would = n_cav + cnt
         ov_new = ov | (act & (would > C))
         pos = n_cav[:, None] + rank
-        keep = add & ~ov_new[:, None]
+        keep = uniq & ~ov_new[:, None]
         flat_pos = jnp.where(
             keep, jnp.arange(S)[:, None] * C + pos, S * C + 1
         )
         cav = cav.reshape(-1).at[flat_pos.reshape(-1)].set(
-            nbrs.reshape(-1), mode="drop"
+            prop.reshape(-1), mode="drop"
         ).reshape(S, C)
+        ptr = jnp.where(act, n_cav, ptr).astype(jnp.int32)
         n_cav = jnp.where(act & ~ov_new, would, n_cav).astype(jnp.int32)
-        ptr = jnp.where(act, ptr + 1, ptr).astype(jnp.int32)
         return cav, n_cav, ptr, ov_new
 
     cav, n_cav, _ptr, ov = jax.lax.while_loop(
@@ -332,17 +352,20 @@ def _round(pts, st: CavityState, S: int, C: int):
     claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
     has = claim != INT_MAX
     rank = jnp.cumsum(has.astype(jnp.int32)) - 1
-    # When the claims overflow the candidate buffer, pick S of them
-    # EVENLY SPREAD across the claim sequence (proportional rank map)
-    # instead of a row-order prefix: prefix candidates concentrate in one
-    # region of the triangulation, their cavities+halos overlap, and the
-    # independent set collapses (measured at 30k 3D sites: 25 winners out
-    # of 2048 candidates per round; spreading restores a healthy rate).
+    # Candidate count is THROTTLED to ~n_tris/16 (traced — no recompile):
+    # a winner is a candidate whose priority is a local minimum over its
+    # cavity+halo footprint (~40 simplexes in 3D), so candidates beyond
+    # ~n_tris/footprint only ADD conflicts — measured at 10k 3D sites:
+    # 2048 candidates on a few-thousand-tet triangulation yielded 6-17
+    # winners/round (445 rounds total); throttling restores
+    # winners ~ S_eff/3.  Picked claims are EVENLY SPREAD across the
+    # claim sequence (stride map) so footprints don't cluster.
     n_claims = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
-    # Stride map (every ceil(n_claims/S)-th claim): int32-safe — the
+    s_eff = jnp.clip(n_tris // 16, 64, S)
+    # Stride map (every ceil(n_claims/S_eff)-th claim): int32-safe — the
     # proportional form rank*S//n_claims overflows int32 once
     # M * S > 2^31 (and int64 silently truncates on TPU without x64).
-    stride = jnp.maximum((n_claims + S - 1) // S, 1)
+    stride = jnp.maximum((n_claims + s_eff - 1) // s_eff, 1)
     picked = has & (rank % stride == 0)
     slot = jnp.where(picked, rank // stride, S + 1)
     t_all = jnp.arange(M, dtype=jnp.int32)
@@ -571,6 +594,13 @@ def _round(pts, st: CavityState, S: int, C: int):
     flat_ids = jnp.reshape(new_id, (-1,))
     flat_ok = jnp.reshape(fvalid, (-1,))
 
+    # Faces are scanned in Fb-sized BLOCKS, batched over [R, Fb]: the
+    # old one-face-per-fori-step layout cost ~5 kernels x F(=2C+2)
+    # iterations per chunk — hundreds of ~2-3 ms kernel launches; the
+    # blocked layout does the same gathers in ceil(F/Fb) steps.
+    Fb = min(16, F)
+    n_blk = (F + Fb - 1) // Fb
+
     def chunk_body(c):
         site_tri, ci = c
         sb = jax.lax.dynamic_slice(csite, (ci * R,), (R,))
@@ -581,38 +611,51 @@ def _round(pts, st: CavityState, S: int, C: int):
 
         def reloc_step(j, carry):
             best_w, best_t = carry
-            cj = flat_ids[w_b * F + j]
-            okj = flat_ok[w_b * F + j]
+            fidx = j * Fb + jnp.arange(Fb, dtype=jnp.int32)  # [Fb]
+            inb = fidx < F
+            fsafe = jnp.where(inb, fidx, 0)
+            gidx = w_b[:, None] * F + fsafe[None, :]    # [R, Fb]
+            cj = flat_ids[gidx]
+            okj = flat_ok[gidx] & inb[None, :]
             tj = jnp.where(okj, cj, 0)
             verts = geometry.take_rows(
-                pts, geometry.take_rows(tri_v, tj)
-            )                                           # [R, d+1, d]
+                pts,
+                geometry.take_rows(tri_v, tj.reshape(-1)).reshape(-1),
+            ).reshape(R, Fb, d + 1, d)
             if d == 2:
                 # compensated ratios: f32 plain solves misassign
                 # boundary sites at 1M-site spacings
-                wj = _minw_robust2d(verts, q_b)
+                wj = _minw_robust2d(verts, q_b[:, None, :])
             elif d == 3:
-                wj = _minw_robust3d(verts, q_b)
+                wj = _minw_robust3d(verts, q_b[:, None, :])
             else:
-                coords, okc = geometry.bary_coords(verts, q_b)
+                coords, okc = geometry.bary_coords(
+                    verts.reshape(R * Fb, d + 1, d),
+                    jnp.broadcast_to(
+                        q_b[:, None, :], (R, Fb, d)
+                    ).reshape(R * Fb, d),
+                )
                 # bary_coords returns weights of vertices 0..d-1;
                 # vertex d's weight is 1 - sum (ops/geometry.py:126-128)
                 wj = jnp.minimum(
                     jnp.min(coords, axis=-1),
                     1.0 - jnp.sum(coords, axis=-1),
                 )
-                wj = jnp.where(okc, wj, -jnp.inf)
-            wj = jnp.where(okj, wj, -jnp.inf)
-            better = wj > best_w
+                wj = jnp.where(okc, wj, -jnp.inf).reshape(R, Fb)
+            wj = jnp.where(okj, wj, -jnp.inf)           # [R, Fb]
+            jb = jnp.argmax(wj, axis=-1)
+            wb = jnp.take_along_axis(wj, jb[:, None], -1)[:, 0]
+            tb = jnp.take_along_axis(tj, jb[:, None], -1)[:, 0]
+            better = wb > best_w
             return (
-                jnp.where(better, wj, best_w),
-                jnp.where(better, tj, best_t).astype(jnp.int32),
+                jnp.where(better, wb, best_w),
+                jnp.where(better, tb, best_t).astype(jnp.int32),
             )
 
         best_w0 = jnp.full(R, -jnp.inf, dtype)
         best_t0 = jnp.zeros(R, jnp.int32)
         _bw, best_t = jax.lax.fori_loop(
-            0, F, reloc_step, (best_w0, best_t0)
+            0, n_blk, reloc_step, (best_w0, best_t0)
         )
         site_tri = site_tri.at[jnp.where(valid, sb, N + 1)].set(
             best_t, mode="drop"
@@ -674,7 +717,7 @@ def _k_rounds_jit(pts, st, S, C, k):
 
 def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
           slots_per_site: float | None = None, n_real: int | None = None,
-          k_batch: int = 16):
+          k_batch: int = 64):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -760,6 +803,7 @@ def triangulate(
     cavity_cap: int = 32,
     s_cap: int = 2048,
     slots_per_site: float | None = None,
+    jitter_ulps: float | None = None,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -792,14 +836,26 @@ def triangulate(
 
     # Deterministic build-time jitter for exactly-degenerate input (see
     # device_delaunay.triangulate); evaluation keeps exact coordinates.
-    # d <= 3 build decisions run on compensated predicates — exact on
-    # the jittered coords — so 8 ulps suffice in f32, as in the 2D
-    # engine.  d >= 4 in-sphere runs in PLAIN dtype arithmetic, whose
-    # error on O(1) standardized coords is ~1e2*eps: the f64 jitter is
-    # set well above that so cospherical ties resolve CONSISTENTLY and
-    # cavities stay manifold (2^16 ulps = 1.5e-11 relative — invisible
-    # to interpolation; also keeps f64 oracle-equivalence stable).
-    jit_ulps = 8.0 if dtype == jnp.float32 else float(1 << 16)
+    # d <= 3 f32 builds run EVERY decision on compensated predicates
+    # whose signs are exact on the build coords, so NO jitter is applied
+    # by default: exact ties resolve consistently to "not violating"
+    # (the reference's shrunken-sphere semantics,
+    # linear_simplex.c:535-536).  This also removes the last source of
+    # Delaunay disagreement with an f64 oracle on random input — an
+    # 8-ulp f32 jitter (5e-7 absolute) flipped near-cospherical
+    # diagonals whose incircle margin fell inside it, showing up as
+    # isolated ~1e-4 eval outliers vs scipy.  d >= 4 (plain-arithmetic
+    # predicates, ~1e2*eps noise) and the f64 path keep a jitter well
+    # above predicate noise so cospherical ties resolve consistently
+    # and cavities stay manifold (2^16 ulps = 1.5e-11 relative —
+    # invisible to interpolation; also keeps f64 oracle-equivalence
+    # tests stable).
+    if jitter_ulps is not None:
+        jit_ulps = float(jitter_ulps)
+    elif d <= 3 and dtype == jnp.float32:
+        jit_ulps = 0.0
+    else:
+        jit_ulps = float(1 << 16)
     jit_mag = jit_ulps * machine.eps(dtype)
     prng = np.random.default_rng(12345)
     sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)

@@ -24,6 +24,7 @@ Coordinates are standardized like the rest of the engine
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -225,3 +226,200 @@ class OrdinaryKriging:
 
     def eval(self, q):
         return self.predict(q)[0]
+
+
+class LocalKriging:
+    """Local-neighborhood ordinary kriging: error estimates at scale.
+
+    ``OrdinaryKriging`` factorizes the dense (n+1) saddle system —
+    O(n^3) work / O(n^2) memory, unusable past ~10k sites.  This is the
+    production-geostatistics localization on the engine's cell-grid
+    machinery (the rbf_pu pattern): sites are bucketed into a uniform
+    grid; each query gathers its 3x3 cell neighborhood, selects the k
+    nearest sites (lax.top_k), and solves its own (k+1) ordinary-kriging
+    saddle system.  Chunks of queries solve as one batched
+    partial-pivot elimination (rbf_pu._plu_solve_batched — exact f32 on
+    TPU where batched LAPACK LU is bf16-corrupted), so predictions and
+    kriging variances stream at O(queries * k^3) with O(chunk * k^2)
+    memory, independent of n.
+
+    2D (the cell grid's current scope).  The variogram is fitted on a
+    subsample exactly as OrdinaryKriging does (never silently: see
+    ``variogram_subsampled``).
+    """
+
+    def __init__(
+        self,
+        sites,
+        values,
+        variogram: Variogram | None = None,
+        model: str = "spherical",
+        k_neighbors: int = 24,
+        standardize: bool = True,
+        target_per_cell: float = 4.0,
+        dtype=None,
+    ):
+        from . import rbf_compact
+
+        sites = np.asarray(sites, np.float64)
+        values = np.asarray(values, np.float64)
+        n, d = sites.shape
+        if d != 2:
+            raise errors.InvalidArgumentError("LocalKriging is 2D")
+        if values.shape != (n,):
+            raise errors.InvalidArgumentError("values shape mismatch")
+        if dtype is None:
+            dtype = (
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            )
+        if standardize:
+            lo, hi = sites.min(0), sites.max(0)
+            self.shift = (lo + hi) / 2.0
+            ext = hi - lo
+            self.scale = np.where(
+                ext > 0, 1.0 / np.where(ext > 0, ext, 1), 1.0
+            )
+        else:
+            self.shift = np.zeros(d)
+            self.scale = np.ones(d)
+        xs_std = self.scale * (sites - self.shift)
+        self.k = int(k_neighbors)
+        self.variogram_subsampled = n > 2000
+        if variogram is None:
+            c, g, w = empirical_variogram(
+                jnp.asarray(xs_std), jnp.asarray(values)
+            )
+            variogram = fit_variogram(c, g, w, model=model)
+        self.variogram = variogram
+        # Cell size: ~target_per_cell sites/cell, so the 3x3 neighborhood
+        # holds ~9*target >= k candidates with margin.
+        rho = float(np.sqrt(target_per_cell / max(n, 1)))
+        self.grid = rbf_compact.build_cell_grid(xs_std, rho)
+        self.grid = self.grid._replace(
+            xs_pad=self.grid.xs_pad.astype(dtype)
+        )
+        self.v_pad = rbf_compact.pack_values(
+            self.grid, jnp.asarray(values, dtype)
+        )
+        self.dtype = dtype
+
+    def predict(self, q, chunk: int = 4096):
+        """(mean [B], variance [B]) at raw query points [B, d]."""
+        q = jnp.atleast_2d(jnp.asarray(q, self.dtype))
+        qs = (
+            jnp.asarray(self.scale, self.dtype)
+            * (q - jnp.asarray(self.shift, self.dtype))
+        )
+        B = qs.shape[0]
+        Gy, Gx, cap, _ = self.grid.xs_pad.shape
+        args = (
+            self.grid.xs_pad.reshape(Gy * Gx, cap, 2),
+            self.v_pad.reshape(Gy * Gx, cap),
+            jnp.asarray(self.grid.cell_size, self.dtype),
+            jnp.asarray(self.grid.origin, self.dtype),
+        )
+        vg = self.variogram
+        if B <= chunk:
+            return _local_predict(
+                *args, qs, Gy=Gy, Gx=Gx, k=self.k,
+                model=vg.model, nugget=vg.nugget, sill=vg.sill,
+                range_=vg.range_,
+            )
+        means, vars_ = [], []
+        pad = (-B) % chunk
+        qs_p = jnp.concatenate(
+            [qs, jnp.zeros((pad, qs.shape[1]), qs.dtype)]
+        )
+        for i in range(0, B + pad, chunk):
+            m, v = _local_predict(
+                *args, qs_p[i : i + chunk], Gy=Gy, Gx=Gx, k=self.k,
+                model=vg.model, nugget=vg.nugget, sill=vg.sill,
+                range_=vg.range_,
+            )
+            means.append(m)
+            vars_.append(v)
+        return (
+            jnp.concatenate(means)[:B],
+            jnp.concatenate(vars_)[:B],
+        )
+
+    def eval(self, q):
+        return self.predict(q)[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Gy", "Gx", "k", "model", "nugget", "sill", "range_"),
+)
+def _local_predict(
+    xs_flat, v_flat, cell, origin, qs, *, Gy, Gx, k,
+    model, nugget, sill, range_,
+):
+    """One chunk of local-kriging predictions (grid arrays as jit args).
+
+    The variogram's fitted floats are STATIC (they bake into the
+    program like any other model hyperparameter); the cell grid rides
+    as arguments so axon remote-compile requests stay small.
+    """
+    from . import rbf_pu
+
+    vg = Variogram(model=model, nugget=nugget, sill=sill, range_=range_)
+    cap = xs_flat.shape[1]
+    dtype = qs.dtype
+    ij = jnp.floor((qs - origin) / cell).astype(jnp.int32)
+    iy = jnp.clip(ij[:, 0], 0, Gy - 1)
+    ix = jnp.clip(ij[:, 1], 0, Gx - 1)
+    xs_parts, v_parts, ok_parts = [], [], []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ny = iy + di
+            nx = ix + dj
+            inb = (ny >= 0) & (ny < Gy) & (nx >= 0) & (nx < Gx)
+            idx = jnp.where(inb, ny * Gx + nx, 0)
+            xs_parts.append(xs_flat[idx])               # [B, cap, 2]
+            v_parts.append(v_flat[idx])
+            ok_parts.append(
+                jnp.broadcast_to(inb[:, None], (inb.shape[0], cap))
+            )
+    xc = jnp.concatenate(xs_parts, axis=1)              # [B, 9cap, 2]
+    vc = jnp.concatenate(v_parts, axis=1)
+    ok = jnp.concatenate(ok_parts, axis=1)
+    ok = ok & jnp.all(jnp.abs(xc) < 1e6, axis=-1)       # poison pads
+
+    kk = min(k, 9 * cap)
+    d2 = jnp.sum((xc - qs[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    _, sel = jax.lax.top_k(-d2, kk)                     # [B, kk] nearest
+    xk = jnp.take_along_axis(xc, sel[..., None], axis=1)
+    vk = jnp.take_along_axis(vc, sel, axis=1)
+    okk = jnp.take_along_axis(ok, sel, axis=1)
+    # saddle system [[Gamma, e], [e^T, 0]]; pad slots get identity
+    # rows/cols and drop out of the unbiasedness constraint.
+    diff = xk[:, :, None, :] - xk[:, None, :, :]
+    h = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    G = vg(h).astype(dtype)                             # [B, kk, kk]
+    pair_ok = okk[:, :, None] & okk[:, None, :]
+    eye = jnp.eye(kk, dtype=dtype)
+    G = jnp.where(pair_ok, G, eye[None])
+    e = okk.astype(dtype)
+    B = qs.shape[0]
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([G, e[:, :, None]], axis=2),
+            jnp.concatenate(
+                [e[:, None, :], jnp.zeros((B, 1, 1), dtype)], axis=2
+            ),
+        ],
+        axis=1,
+    )                                                   # [B, kk+1, kk+1]
+    hq = jnp.sqrt(
+        jnp.maximum(jnp.sum((xk - qs[:, None, :]) ** 2, -1), 0.0)
+    )
+    gq = jnp.where(okk, vg(hq).astype(dtype), 0.0)
+    rhs = jnp.concatenate([gq, jnp.ones((B, 1), dtype)], axis=1)
+    sol = rbf_pu._plu_solve_batched(K, rhs)             # [B, kk+1]
+    w = sol[:, :-1]
+    mu = sol[:, -1]
+    mean = jnp.sum(w * jnp.where(okk, vk, 0.0), axis=1)
+    var = jnp.sum(w * gq, axis=1) + mu
+    return mean, jnp.maximum(var, 0.0)

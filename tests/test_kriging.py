@@ -87,3 +87,51 @@ class TestOrdinaryKriging:
         # auto-fitted variogram is sane
         vg = ok.variogram
         assert vg.range_ > 0 and vg.sill > 0 and vg.nugget >= 0
+
+
+class TestLocalKriging:
+    """Local-neighborhood OK: the at-scale error-estimates path."""
+
+    def test_matches_dense_when_k_covers_all(self):
+        x, f = _field(48, 3)
+        vg = kriging.Variogram(
+            "exponential", nugget=0.0, sill=1.0, range_=0.5
+        )
+        dense = kriging.OrdinaryKriging(x, f, variogram=vg)
+        local = kriging.LocalKriging(
+            x, f, variogram=vg, k_neighbors=48, target_per_cell=200.0
+        )
+        rng = np.random.default_rng(4)
+        q = rng.uniform(1, 9, size=(200, 2))
+        m_d, v_d = dense.predict(q)
+        m_l, v_l = local.predict(q)
+        testing.test_abs(np.asarray(m_l), np.asarray(m_d), 1e-7)
+        testing.test_abs(np.asarray(v_l), np.asarray(v_d), 1e-7)
+
+    def test_exact_at_sites_and_variance_grows(self):
+        x, f = _field(5000, 5)
+        vg = kriging.Variogram(
+            "exponential", nugget=0.0, sill=1.0, range_=0.2
+        )
+        local = kriging.LocalKriging(x, f, variogram=vg, k_neighbors=24)
+        mean, var = local.predict(x[:500])
+        np.testing.assert_allclose(np.asarray(mean), f[:500], atol=1e-5)
+        assert np.all(np.asarray(var) < 1e-5)
+        # far from every site: variance approaches sill
+        far = np.asarray([[50.0, 50.0]])
+        _, v_far = local.predict(far)
+        assert float(v_far[0]) > 0.5
+
+    def test_at_scale_runs(self):
+        # 50k sites: the dense path cannot build this (O(n^2) memory);
+        # the local path streams it.
+        rng = np.random.default_rng(6)
+        x = rng.uniform(0, 10, size=(50_000, 2))
+        f = np.sin(x[:, 0] * 0.8) + 0.5 * np.cos(x[:, 1] * 1.1)
+        local = kriging.LocalKriging(x, f, k_neighbors=16)
+        q = rng.uniform(0.5, 9.5, size=(2_000, 2))
+        mean, var = local.predict(q)
+        ref = np.sin(q[:, 0] * 0.8) + 0.5 * np.cos(q[:, 1] * 1.1)
+        # dense local field: interpolation error well under the signal
+        assert np.max(np.abs(np.asarray(mean) - ref)) < 0.05
+        assert np.all(np.asarray(var) >= 0)

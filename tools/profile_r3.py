@@ -73,6 +73,36 @@ def run_3d(n=10_000):
           f"{np.quantile(err, 0.999):.3e} n_out>1e-4 "
           f"{(err > 1e-4).sum()} n_out>1e-5 {(err > 1e-5).sum()}",
           flush=True)
+
+    # query throughput: walk (grid starts) vs cell index
+    tri32 = tri.cast(jnp.float32)
+    resp_tri = dt.vertex_responses(tri32, resp)
+    t0 = time.perf_counter()
+    cells = dt.build_cell_index(tri32)
+    print(f"== 3d cell index build {time.perf_counter()-t0:.2f}s "
+          f"G={cells.res} K={cells.k} overflow="
+          f"{float(jnp.mean(cells.overflow.astype(jnp.float32))):.4f}",
+          flush=True)
+    B = 1_000_000
+    Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(B, 3)), jnp.float32)
+    for method, kw in (("walk", {}), ("cells", {"cells": cells})):
+        f = jax.jit(
+            lambda t, rt, q, s, **k: dt.interp(
+                t, None, q + s, method=method, resp_tri=rt, **k
+            )
+        )
+        out0 = f(tri32, resp_tri, Q, jnp.float32(0.0), **kw)
+        jax.block_until_ready(out0)
+        n_rep = 5
+        t0 = time.perf_counter()
+        outs = [
+            f(tri32, resp_tri, Q, jnp.float32(1e-6 * (i + 1)), **kw)
+            for i in range(n_rep)
+        ]
+        jax.block_until_ready(outs[-1])
+        dt_s = time.perf_counter() - t0
+        print(f"== 3d queries {method}: {n_rep*B/dt_s/1e6:.2f} Mq/s",
+              flush=True)
     return tri, shuf, sites
 
 
