@@ -63,7 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import geometry, robust
-from ..utils import machine
+from ..utils import config, machine
 
 INT_MAX = np.iinfo(np.int32).max
 
@@ -334,10 +334,12 @@ def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
     return cav, n_cav, ov
 
 
-def _round(pts, st: CavityState, S: int, C: int):
+def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     """One parallel cavity-insertion round (jit; S, C static).
 
-    Returns (state, n_winners).
+    Returns (state, n_winners[, stats]) — stats (want_stats=True, debug)
+    is [n_cand, n_overflow, n_face_ov, n_manifold_fail, n_own_fail,
+    n_win, sum_cav, sum_face] for conflict-rate analysis.
     """
     M, dp1 = st.tri_v.shape
     d = dp1 - 1
@@ -361,7 +363,11 @@ def _round(pts, st: CavityState, S: int, C: int):
     # winners ~ S_eff/3.  Picked claims are EVENLY SPREAD across the
     # claim sequence (stride map) so footprints don't cluster.
     n_claims = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
-    s_eff = jnp.clip(n_tris // 16, 64, S)
+    # floor 4: with a tiny triangulation every candidate's footprint
+    # overlaps every other's, so win/round saturates at ~2 regardless of
+    # how many candidates fight (measured: floor 64 gave win=1 for the
+    # first ~50 rounds — pure wasted conflict work)
+    s_eff = jnp.clip(n_tris // 16, 4, S)
     # Stride map (every ceil(n_claims/S_eff)-th claim): int32-safe — the
     # proportional form rank*S//n_claims overflows int32 once
     # M * S > 2^31 (and int64 silently truncates on TPU without x64).
@@ -398,12 +404,10 @@ def _round(pts, st: CavityState, S: int, C: int):
     owner = owner[:M]
     mine_cav = geometry.take_rows(owner, cav_safe) == prio[:, None]
     mine_halo = geometry.take_rows(owner, halo_safe) == prio[:, None, None]
-    win = (
-        active
-        & ~overflow
-        & jnp.all(mine_cav | ~memb, axis=1)
-        & jnp.all(mine_halo | ~halo_ok, axis=(1, 2))
+    own_ok = jnp.all(mine_cav | ~memb, axis=1) & jnp.all(
+        mine_halo | ~halo_ok, axis=(1, 2)
     )
+    win = active & ~overflow & own_ok
 
     # -- 4. boundary faces ------------------------------------------------
     # face (m, f): cavity member m's face f whose neighbor is outside.
@@ -675,10 +679,23 @@ def _round(pts, st: CavityState, S: int, C: int):
     site_tri = jnp.where(ins, -1, site_tri)
     n_w = jnp.sum(win.astype(jnp.int32))
     n_left = (n_left - n_w).astype(jnp.int32)
-    return (
-        CavityState(tri_v, tri_n, n_tris, site_tri, n_left),
-        n_w,
+    out_st = CavityState(tri_v, tri_n, n_tris, site_tri, n_left)
+    if not want_stats:
+        return out_st, n_w
+    i32 = lambda m: jnp.sum(m.astype(jnp.int32))
+    stats = jnp.stack(
+        [
+            i32(active),
+            i32(active & overflow),
+            i32(active & ~overflow & own_ok & face_ov),
+            i32(active & ~overflow & own_ok & ~face_ov & ~manifold),
+            i32(active & ~overflow & ~own_ok),
+            n_w,
+            i32(memb & active[:, None]),
+            jnp.sum(jnp.where(active, n_face, 0)),
+        ]
     )
+    return out_st, n_w, stats
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
@@ -715,9 +732,31 @@ def _k_rounds_jit(pts, st, S, C, k):
     return st, jnp.stack([it, st.n_left])
 
 
+def init_state_seeded(
+    pts, N: int, M: int, tri_v0, tri_n0, site_tri0, n_left0, n_real=None
+) -> CavityState:
+    """State pre-populated with an imported triangulation (Qhull seed)."""
+    d = pts.shape[-1]
+    T = tri_v0.shape[0]
+    tri_v = jnp.full((M, d + 1), -1, jnp.int32).at[:T].set(
+        jnp.asarray(tri_v0, jnp.int32)
+    )
+    tri_n = jnp.full((M, d + 1), -1, jnp.int32).at[:T].set(
+        jnp.asarray(tri_n0, jnp.int32)
+    )
+    return CavityState(
+        tri_v=tri_v,
+        tri_n=tri_n,
+        n_tris=jnp.int32(T),
+        site_tri=jnp.asarray(site_tri0, jnp.int32),
+        n_left=jnp.int32(n_left0),
+    )
+
+
 def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
           slots_per_site: float | None = None, n_real: int | None = None,
-          k_batch: int = 64):
+          k_batch: int = 64, init: CavityState | None = None,
+          n_left0: int | None = None):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -745,11 +784,15 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         slots_per_site = {2: 2.2, 3: 9.0, 4: 45.0}.get(d, 100.0)
     M = int(slots_per_site * N) + 16 * (d + 1)
     pts = jnp.concatenate([cage_std.astype(dtype), sites_std])
-    st = init_state(pts, N, M, n_real)
+    if init is not None:
+        st = init
+        n_left = int(n_left0)
+    else:
+        st = init_state(pts, N, M, n_real)
+        n_left = N if n_real is None else int(n_real)
     C = cavity_cap
     rounds = 0
     t0 = _time.perf_counter()
-    n_left = N if n_real is None else int(n_real)
     while n_left > 0:
         # S fixed for the whole build: the compact [S, C] work is trivial
         # next to the O(N)/O(M) parts, and a constant S means ONE
@@ -804,6 +847,8 @@ def triangulate(
     s_cap: int = 2048,
     slots_per_site: float | None = None,
     jitter_ulps: float | None = None,
+    seed_import: str = "auto",
+    seed_min: int = 4096,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -867,6 +912,66 @@ def triangulate(
     n_pad = bucket_size(n)
     sites_padded = np.zeros((n_pad, d), np.float64)
     sites_padded[:n] = sites_build
+
+    # Qhull-seeded start (seed_import="auto"/"qhull"; "self" disables).
+    # Two structural problems of the self-seeded parallel rounds, both
+    # measured at 10k 3D sites: (a) the RAMP — with a tiny triangulation
+    # every candidate footprint overlaps every other, pinning winners to
+    # 1-2/round for the first ~100 rounds; (b) the TAIL — the last ~5% of
+    # sites lie outside the current data hull, where their conflict
+    # regions span the huge cage-gap slivers and grow PAST any fixed
+    # cavity cap as the hull refines (the overflow-deferral spiral).
+    # Importing the exact Delaunay triangulation of a small uniform
+    # subset (cage + ~max(2048, n/16) sites, Qhull milliseconds — the
+    # reference's planned import feature, README:18) starts the rounds at
+    # a dense, full-coverage hull: footprints are local (no ramp) and no
+    # remaining site sits far outside the hull (no tail).  Qhull runs on
+    # the dtype-ROUNDED coords so its exact predicates see exactly the
+    # device's point set and the seed is Delaunay for the device too.
+    init = None
+    n_left0 = None
+    if seed_import in ("auto", "qhull") and n >= seed_min:
+        try:
+            from scipy.spatial import Delaunay as _SciDelaunay
+        except Exception:  # pragma: no cover - scipy is baked in
+            _SciDelaunay = None
+        if _SciDelaunay is not None:
+            m = min(n, max(2048, n // 16))
+            np_dtype = np.dtype(dtype)
+            rounded = sites_padded[:n].astype(np_dtype).astype(np.float64)
+            cage_r = np.asarray(cage_std, np.float64)
+            sd = _SciDelaunay(np.concatenate([cage_r, rounded[:m]]))
+            tets0 = np.asarray(sd.simplices, np.int32)
+            nbrs0 = np.asarray(sd.neighbors, np.int32)
+            loc = np.asarray(sd.find_simplex(rounded[m:]), np.int64)
+            miss = loc < 0
+            if miss.any():  # rare: rounding on a cage-gap face
+                loc[miss] = sd.find_simplex(
+                    rounded[m:][miss], bruteforce=True
+                )
+                loc = np.maximum(loc, 0)
+            site_tri0 = np.full(n_pad, -1, np.int32)
+            site_tri0[m:n] = loc.astype(np.int32)
+            if slots_per_site is None:
+                slots_per_site_eff = {2: 2.2, 3: 9.0, 4: 45.0}.get(
+                    d, 100.0
+                )
+            else:
+                slots_per_site_eff = slots_per_site
+            M = int(slots_per_site_eff * n_pad) + 16 * (d + 1)
+            pts_all = jnp.concatenate(
+                [cage_std.astype(dtype),
+                 jnp.asarray(sites_padded, dtype)]
+            )
+            init = init_state_seeded(
+                pts_all, n_pad, M, tets0, nbrs0, site_tri0, n - m
+            )
+            n_left0 = n - m
+            config.log.info(
+                "cavity build: qhull seed %d sites -> %d simplexes",
+                m, tets0.shape[0],
+            )
+
     tri_v, tri_n, alive, _ = build(
         jnp.asarray(sites_padded, dtype),
         cage_std,
@@ -874,6 +979,8 @@ def triangulate(
         s_cap=s_cap,
         slots_per_site=slots_per_site,
         n_real=n,
+        init=init,
+        n_left0=n_left0,
     )
     points_raw = np.concatenate([cage_raw, sites_shuffled])
     tri = device_tri.from_arrays(

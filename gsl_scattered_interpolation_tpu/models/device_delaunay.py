@@ -421,13 +421,16 @@ def _match_and_flip(
     # reference likewise leaves un-flippable violations in place
     # (edge_flip.c:244-254).
     do = mutual & (rs < pick_safe)
-    # Cap executed flips at R//4 (deferring the overflow pairs — they
+    # Cap executed flips at R//2 (deferring the overflow pairs — they
     # stay candidates and re-match next round), then COMPACT the executed
     # set: everything below — slot search, rewrites, repair rows, the
     # circumcircle refresh, the partner map — runs on [Rf] rows instead
-    # of [R].  Typical rounds execute well under the cap.
+    # of [R].  Round cost is kernel-launch-bound (~0.24 s at R=524k
+    # regardless of executed count), so the bulk sweep is VOLUME-limited:
+    # measured at 1M sites, dirty sat at ~620k for 32 rounds with the
+    # old R//4 cap — the cap, not convergence, set the round count.
     R = do.shape[0]
-    Rf = max(R // 4, 64)
+    Rf = max(R // 2, 64)
     frank = jnp.cumsum(do.astype(jnp.int32)) - 1
     do = do & (frank < Rf)
     any_flip = jnp.any(do)
@@ -690,7 +693,7 @@ def build_2d_chunked(
     k_batch: int = 32,
     start_cap: int = 1 << 30,
     ladder_factor: int = 8,
-    r_compact: int = 524288,
+    r_compact: int = 1 << 20,
     r_site: int = 1 << 21,
     sweep_rounds: int = 32,
 ):

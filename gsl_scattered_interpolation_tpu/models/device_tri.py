@@ -673,17 +673,22 @@ class CellIndex(NamedTuple):
     triangles) and out-of-square queries fall back to the walk.
     """
 
-    table: jax.Array     # [G*G, K*7] float32 packed candidates
-    overflow: jax.Array  # [G*G] bool: candidate list truncated
-    hint: jax.Array      # [G*G] int32 walk-start triangle
+    table: jax.Array     # 2D: [G^2, K*7] f32 packed; 3D: [G^3, K] int32 ids
+    overflow: jax.Array  # [G^d] bool: candidate list truncated
+    hint: jax.Array      # [G^d] int32 walk-start simplex
     res: int             # static grid resolution G
     k: int               # static candidates per cell
+    # 3D two-stage layout: per-tet q-centered score rows [T, 12] f32
+    # (g 3x3 row-major + bias 3).  The packed-per-cell 2D layout would
+    # cost G^3*13K floats — not HBM-scalable; splitting id table from
+    # row table keeps memory O(G^3 K ints + T rows).
+    rows: jax.Array | None = None
 
 
 jax.tree_util.register_pytree_node(
     CellIndex,
-    lambda c: ((c.table, c.overflow, c.hint), (c.res, c.k)),
-    lambda aux, ch: CellIndex(*ch, res=aux[0], k=aux[1]),
+    lambda c: ((c.table, c.overflow, c.hint, c.rows), (c.res, c.k)),
+    lambda aux, ch: CellIndex(*ch[:3], res=aux[0], k=aux[1], rows=ch[3]),
 )
 
 
@@ -892,24 +897,28 @@ def _build_cell_index_3d(
 ) -> CellIndex:
     """3D cell-candidate index: conservative tet rasterization.
 
-    Packs each candidate as 13 floats, field-major within the row —
-    the q-centered affine rows (g 3x3, bias 3) + the tet id as a float
-    (exact for T < 2^24).  Small-bbox tets emit their bbox cells
-    filtered by a half-diagonal-dilated face-plane test; big-bbox tets
-    (cage slivers) run the same test chunked so host memory stays
-    bounded.  Cells with more than K intersecting tets are marked
-    overflow (queries there take the walk fallback), preserving the
-    exact-coverage guarantee of the 2D index.
+    Two-stage layout: an int32 id table [G^3, K] plus per-tet q-centered
+    score rows [T, 12] (gathered per candidate at query time) — the 2D
+    packed-floats layout would need G^3*13K floats of HBM.  Small-bbox
+    tets emit their bbox cells filtered by an exact box-vs-half-space
+    test (per-face margin = the cell box's support on the face normal —
+    measured vs the half-diagonal margin: ~15% fewer listed cells);
+    big-bbox tets (cage slivers) run the same test chunked so host
+    memory stays bounded.  Cells with more than K intersecting tets are
+    marked overflow (queries there take the walk fallback), preserving
+    the exact-coverage guarantee of the 2D index.
     """
     pts = np.asarray(tri.points_std, np.float64)
     tv = np.asarray(tri.tri_verts)
     T = tv.shape[0]
     if grid_res is None:
-        grid_res = int(np.clip(round((max(T, 1) / 4.0) ** (1.0 / 3.0)),
-                               8, 256))
+        # measured on 67k uniform tets: G = 1.7 T^(1/3) with the support
+        # margin gives ~9 avg candidates/cell, <5% overflow at K=24
+        grid_res = int(np.clip(
+            round(1.7 * max(T, 1) ** (1.0 / 3.0)), 8, 160
+        ))
     G = int(grid_res)
     cell_w = 1.0 / G
-    half_diag = cell_w * np.sqrt(3.0) / 2.0 + 1e-12
 
     verts = pts[tv]  # [T, 4, 3]
     lo = np.clip(
@@ -979,10 +988,12 @@ def _build_cell_index_3d(
             )
             keep = np.ones(rep.size, bool)
             for kf in range(4):
-                d_in = np.sum(normals[rep, kf] * C, axis=1) - offsets[
-                    rep, kf
-                ]
-                keep &= d_in >= -half_diag
+                nrm = normals[rep, kf]
+                d_in = np.sum(nrm * C, axis=1) - offsets[rep, kf]
+                # exact box/half-space test: margin = support of the
+                # half-cell box on the face normal
+                margin = 0.5 * cell_w * np.abs(nrm).sum(axis=1) + 1e-12
+                keep &= d_in >= -margin
             pair_tri.append(rep[keep].astype(np.int64))
             pair_cell.append(
                 (cx[keep] * G + cy[keep]) * G + cz[keep]
@@ -1025,28 +1036,26 @@ def _build_cell_index_3d(
         gz = np.minimum(cz * gr // G, gr - 1)
         hint[empty] = fallback[((gx * gr + gy) * gr + gz)[empty]]
 
+    ids = np.full((G * G * G, K), -1, np.int32)
+    ids[rows_k, cols_k] = tri_k.astype(np.int32)
     gmat, bias = _qcentered_tables(tri)
-    gmat = np.asarray(gmat, np.float32).reshape(T, 9)
-    bias = np.asarray(bias, np.float32)
-    packed = np.zeros((G * G * G, 13, K), np.float32)
-    packed[:, 9:12, :] = 1e30
-    packed[:, 12, :] = -1.0
-    for f in range(9):
-        packed[rows_k, f, cols_k] = gmat[tri_k, f]
-    for f in range(3):
-        packed[rows_k, 9 + f, cols_k] = bias[tri_k, f]
-    packed[rows_k, 12, cols_k] = tri_k.astype(np.float32)
+    rows12 = np.concatenate(
+        [np.asarray(gmat, np.float32).reshape(T, 9),
+         np.asarray(bias, np.float32)], axis=1
+    )                                                   # [T, 12]
     return CellIndex(
-        table=jnp.asarray(packed.reshape(G * G * G, 13 * K)),
+        table=jnp.asarray(ids),
         overflow=jnp.asarray(overflow),
         hint=jnp.asarray(hint),
         res=G,
         k=K,
+        rows=jnp.asarray(rows12),
     )
 
 
 def _locate_cells_score_3d(tri, cells, q_raw):
-    """[B] candidate scoring for the 3D index: one [B, 13K] row gather."""
+    """[B] 3D candidate scoring: one [B, K] id gather + one [B*K, 12]
+    row gather."""
     G = cells.res
     K = cells.k
     dtype = q_raw.dtype
@@ -1055,25 +1064,33 @@ def _locate_cells_score_3d(tri, cells, q_raw):
         jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
     )
     cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
-    rows = cells.table[cid].astype(dtype)
-    g = [rows[:, f * K : (f + 1) * K] for f in range(9)]
-    b = [rows[:, (9 + f) * K : (10 + f) * K] for f in range(3)]
-    tid = rows[:, 12 * K : 13 * K]
-    dq = [
-        (q_raw[:, j] - tri.shift[j].astype(dtype))[:, None]
-        for j in range(3)
-    ]
-    c0 = g[0] * dq[0] + g[1] * dq[1] + g[2] * dq[2] + b[0]
-    c1 = g[3] * dq[0] + g[4] * dq[1] + g[5] * dq[2] + b[1]
-    c2 = g[6] * dq[0] + g[7] * dq[1] + g[8] * dq[2] + b[2]
+    tid = cells.table[cid]                              # [B, K] int32
+    ok = tid >= 0
+    rows = geometry.take_rows(
+        cells.rows, jnp.where(ok, tid, 0).reshape(-1)
+    ).reshape(tid.shape[0], K, 12).astype(dtype)        # [B, K, 12]
+    dq = (q_raw - tri.shift.astype(dtype))[:, None, :]  # [B, 1, 3]
+    c0 = (
+        rows[..., 0] * dq[..., 0] + rows[..., 1] * dq[..., 1]
+        + rows[..., 2] * dq[..., 2] + rows[..., 9]
+    )
+    c1 = (
+        rows[..., 3] * dq[..., 0] + rows[..., 4] * dq[..., 1]
+        + rows[..., 5] * dq[..., 2] + rows[..., 10]
+    )
+    c2 = (
+        rows[..., 6] * dq[..., 0] + rows[..., 7] * dq[..., 1]
+        + rows[..., 8] * dq[..., 2] + rows[..., 11]
+    )
     minw = jnp.minimum(
         jnp.minimum(jnp.minimum(c0, c1), c2), 1.0 - c0 - c1 - c2
     )
-    minw = jnp.where(tid >= 0, minw, -jnp.inf)
+    minw = jnp.where(ok, minw, -jnp.inf)
     best = jnp.argmax(minw, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, best[:, None], -1)[:, 0]
-    bestw = take(minw)
-    leaf = jnp.maximum(take(tid), 0.0).astype(jnp.int32)
+    bestw = jnp.take_along_axis(minw, best[:, None], -1)[:, 0]
+    leaf = jnp.maximum(
+        jnp.take_along_axis(tid, best[:, None], -1)[:, 0], 0
+    )
     return cid, leaf, bestw, q_std
 
 
@@ -1132,7 +1149,10 @@ def locate_cells(
     # judging f32 scores with an f64 tolerance rejects genuinely-inside
     # boundary queries.  The anchored weights are then re-judged at the
     # query dtype's tolerance.
-    tol_score = 4.0 * machine.sqrt_eps(cells.table.dtype)
+    score_dtype = (
+        cells.rows.dtype if cells.rows is not None else cells.table.dtype
+    )
+    tol_score = 4.0 * machine.sqrt_eps(score_dtype)
     tol_w = jnp.asarray(4.0 * machine.sqrt_eps(dtype), dtype)
     contained = bestw >= -jnp.asarray(tol_score, dtype)
     w_ok = jnp.all(w >= -tol_w, axis=-1)

@@ -205,3 +205,37 @@ class TestCavity4D:
             for row in np.asarray(dt.freeze(tree).tri_verts)
         }
         assert _canon(tri, shuffle, 4) == host
+
+
+class TestQhullSeed:
+    """Qhull-seeded start (the import feature bootstrapping the rounds)."""
+
+    def test_seeded_matches_host_oracle(self):
+        n = 400
+        sites = _rand(n, 3, seed=21)
+        tri, shuffle = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, seed_min=64
+        )
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=n,
+        )
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        host = {
+            tuple(sorted(int(v) for v in row))
+            for row in np.asarray(dt.freeze(tree).tri_verts)
+        }
+        assert _canon(tri, shuffle, 3) == host
+
+    def test_seeded_2d_matches_unseeded(self):
+        n = 300
+        sites = _rand(n, 2, seed=22)
+        t1, s1 = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, seed_min=64
+        )
+        t2, s2 = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, seed_import="self"
+        )
+        assert _canon(t1, s1, 2) == _canon(t2, s2, 2)

@@ -106,7 +106,45 @@ def run_3d(n=10_000):
     return tri, shuf, sites
 
 
+def run_pallas_boundary(n_sites=50_000):
+    """VERDICT #8: pallas vs dense locate agreement at the T~100k VMEM
+    boundary, on a real device build, on the real chip."""
+    from gsl_scattered_interpolation_tpu.models import (
+        device_delaunay as dd, device_tri as dt, host_tree as ht,
+    )
+    from gsl_scattered_interpolation_tpu.ops import pallas_locate
+
+    rng = np.random.default_rng(3)
+    sites = rng.uniform(-0.5, 0.5, size=(n_sites, 2))
+    tri, shuf = dd.triangulate(
+        sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32, grid_res=256
+    )
+    tri32 = tri.cast(jnp.float32)
+    T = tri32.n_tris
+    q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(200_000, 2)), jnp.float32)
+    leaf_p = pallas_locate.locate_dense_pallas(tri32, q)
+    w_p = dt._weights(tri32, leaf_p, q)
+    cells = dt.build_cell_index(tri32)
+    leaf_c, w_c, in_c = dt.locate_cells(tri32, cells, q)
+    # leaves may differ on shared edges; min weights and values must agree
+    mw_p = np.asarray(jnp.min(w_p, -1))
+    mw_c = np.asarray(jnp.min(w_c, -1))
+    dmw = np.max(np.abs(mw_p - mw_c))
+    resp = np.random.default_rng(4).standard_normal(
+        tri32.points_raw.shape[0]
+    ).astype(np.float32)
+    resp[:3] = 0
+    rj = jnp.asarray(resp)
+    v_p = np.asarray(jnp.sum(w_p * rj[tri32.tri_verts[leaf_p]], -1))
+    v_c = np.asarray(jnp.sum(w_c * rj[tri32.tri_verts[leaf_c]], -1))
+    dv = np.max(np.abs(v_p - v_c))
+    print(f"== pallas boundary T={T}: max|minw diff|={dmw:.3e} "
+          f"max|value diff|={dv:.3e}", flush=True)
+
+
 if mode == "2d":
     run_2d()
 elif mode == "3d":
     run_3d(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
+elif mode == "pallas":
+    run_pallas_boundary(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000)
