@@ -807,9 +807,14 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         rounds += used
         if n_left == 0:
             break
-        if not progressed or used < k_batch:
-            # the batch ended on a zero-winner round: every candidate was
-            # stranded (cavity overflow / capacity refusal)
+        if not progressed:
+            # a WHOLE dispatch with zero insertions: every candidate is
+            # stranded (cavity overflow / capacity refusal).  A batch
+            # that merely ENDED on one zero-winner round (used <
+            # k_batch) but still progressed just re-dispatches — a
+            # transient conflict alignment must not double C (each
+            # doubling ~doubles every later round's cost AND compiles a
+            # new program).
             if int(st.n_tris) > M - (2 * C + 2):
                 # the round program refuses wins that would overflow M
                 from ..utils import errors
@@ -936,7 +941,11 @@ def triangulate(
         except Exception:  # pragma: no cover - scipy is baked in
             _SciDelaunay = None
         if _SciDelaunay is not None:
-            m = min(n, max(2048, n // 16))
+            # n/4: the seed hull's deficit sets the size of the
+            # big-cavity tail (sites outside the current hull escalate
+            # the cavity cap; measured at 10k: m=2048 left a ~2.9k-site
+            # tail that cost 25 of the build's 30 s)
+            m = min(n, max(2048, n // 4))
             np_dtype = np.dtype(dtype)
             rounded = sites_padded[:n].astype(np_dtype).astype(np.float64)
             cage_r = np.asarray(cage_std, np.float64)

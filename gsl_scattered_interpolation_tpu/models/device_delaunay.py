@@ -389,7 +389,8 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
 
 
 def _match_and_flip(
-    pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok, want_frec=False
+    pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok, want_frec=False,
+    rf_div: int = 4,
 ):
     """Mutual-minimum matching + in-place execution of the matched flips.
 
@@ -421,16 +422,17 @@ def _match_and_flip(
     # reference likewise leaves un-flippable violations in place
     # (edge_flip.c:244-254).
     do = mutual & (rs < pick_safe)
-    # Cap executed flips at R//2 (deferring the overflow pairs — they
-    # stay candidates and re-match next round), then COMPACT the executed
-    # set: everything below — slot search, rewrites, repair rows, the
-    # circumcircle refresh, the partner map — runs on [Rf] rows instead
-    # of [R].  Round cost is kernel-launch-bound (~0.24 s at R=524k
-    # regardless of executed count), so the bulk sweep is VOLUME-limited:
-    # measured at 1M sites, dirty sat at ~620k for 32 rounds with the
-    # old R//4 cap — the cap, not convergence, set the round count.
+    # Cap executed flips at R//rf_div (deferring the overflow pairs —
+    # they stay candidates and re-match next round), then COMPACT the
+    # executed set: everything below — slot search, rewrites, repair
+    # rows, the circumcircle refresh, the partner map — runs on [Rf]
+    # rows instead of [R].  Per-round cost is ~LINEAR in R and Rf at
+    # these sizes (measured: R 524k->1M with Rf R//4->R//2 took the
+    # sweep round 0.24 s -> 0.82 s), so rf_div trades rounds against
+    # per-round work: the dirt-saturated final sweep runs rf_div=2, the
+    # insert-phase sweeps (small fresh dirt per round) keep rf_div=4.
     R = do.shape[0]
-    Rf = max(R // 2, 64)
+    Rf = max(R // rf_div, 64)
     frank = jnp.cumsum(do.astype(jnp.int32)) - 1
     do = do & (frank < Rf)
     any_flip = jnp.any(do)
@@ -528,8 +530,9 @@ def _match_and_flip(
     # outer neighbors.
     rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
     repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
+    n_exec = jnp.sum(fvalid, dtype=jnp.int32)  # x64: plain sum -> int64
     if not want_frec:
-        return new_tv, new_tn, cc, flip_info, rep, repv, any_flip
+        return new_tv, new_tn, cc, flip_info, rep, repv, any_flip, n_exec
     dtype = pts.dtype
     sg1 = jnp.where(D1 < 0, -1.0, 1.0).astype(dtype)
     sg2 = jnp.where(D2 < 0, -1.0, 1.0).astype(dtype)
@@ -547,7 +550,7 @@ def _match_and_flip(
         ),
         mode="drop",
     )
-    return new_tv, new_tn, cc, flip_info, rep, repv, any_flip, frec
+    return new_tv, new_tn, cc, flip_info, rep, repv, any_flip, n_exec, frec
 
 
 def _assign_flip_side_rec(frec, t_of, q):
@@ -575,7 +578,7 @@ def _flip_round(pts, carry, relocate=True):
     rows = jnp.arange(M, dtype=jnp.int32)
     rvalid = jnp.ones((M,), bool)
     tv, tn, cand_ok = _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid)
-    new_tv, new_tn, cc, flip_info, _rep, _repv, any_flip = (
+    new_tv, new_tn, cc, flip_info, _rep, _repv, any_flip, _n_exec = (
         _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok)
     )
 
@@ -693,7 +696,7 @@ def build_2d_chunked(
     k_batch: int = 32,
     start_cap: int = 1 << 30,
     ladder_factor: int = 8,
-    r_compact: int = 1 << 20,
+    r_compact: int = 524288,
     r_site: int = 1 << 21,
     sweep_rounds: int = 32,
 ):
@@ -789,7 +792,7 @@ def build_2d_chunked(
                         pts, st, dirty, R_s, rsite
                     )
                     n_new = n_new + n_new_i
-                tri_v, tri_n, cc, dirty, _, _, site_tri = (
+                tri_v, tri_n, cc, dirty, _, _, site_tri, _nf = (
                     _flip_sweep_compact(
                         pts, st.tri_v, st.tri_n, st.cc, dirty,
                         R, jnp.int32(flips_per_round),
@@ -815,8 +818,11 @@ def build_2d_chunked(
             jax.jit, donate_argnums=(1, 2, 3, 4)
         )
         def sweep(pts, tri_v, tri_n, cc, dirty):
+            # rf_div=2: the post-insert sweep is dirt-saturated, so a
+            # deeper executed-flip cap halves its round count for ~40%
+            # higher per-round cost (net win; insert sweeps keep 4)
             return _flip_sweep_compact(
-                pts, tri_v, tri_n, cc, dirty, R, jnp.int32(cap)
+                pts, tri_v, tri_n, cc, dirty, R, jnp.int32(cap), rf_div=2
             )
 
         return sweep
@@ -900,12 +906,16 @@ def build_2d_chunked(
             lambda: make_sweep(R, cap_rounds),
             (pts, tri_v, tri_n, cc, dirty),
         )
-        tri_v, tri_n, cc, dirty, used, nd, _ = sw(
+        tri_v, tri_n, cc, dirty, used, nd, _, nf = sw(
             pts, tri_v, tri_n, cc, dirty
         )
         used = int(used)
         swept += used
         nd = int(nd)
+        config.log.info(
+            "build: sweep dispatch %d rounds, %d flips, %d dirty",
+            used, int(nf), nd,
+        )
         if nd == 0:
             break
         if used == cap_rounds:
@@ -1378,7 +1388,7 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
 
 def _flip_sweep_compact(
     pts, tri_v, tri_n, cc, dirty, R: int, cap,
-    site_tri=None, r_site: int = 65536,
+    site_tri=None, r_site: int = 65536, rf_div: int = 4,
 ):
     """Dirty-set flip rounds on an [R]-compacted workspace.
 
@@ -1396,7 +1406,9 @@ def _flip_sweep_compact(
     None for the final cleanup (every site inserted — no [N] work at
     all).
 
-    Returns (tri_v, tri_n, cc, dirty, rounds_used, n_dirty, site_tri).
+    Returns (tri_v, tri_n, cc, dirty, rounds_used, n_dirty, site_tri,
+    n_flips) — n_flips is the total executed-flip count (volume
+    diagnostics; the sweep is volume- vs depth-limited tuning input).
     """
     M = tri_v.shape[0]
     arange_m = jnp.arange(M, dtype=jnp.int32)
@@ -1405,7 +1417,7 @@ def _flip_sweep_compact(
         site_tri = jnp.zeros((1,), jnp.int32)  # carry placeholder
 
     def body(carry):
-        tri_v, tri_n, cc, dirty, site_tri, it, _progress = carry
+        tri_v, tri_n, cc, dirty, site_tri, it, _progress, n_flips = carry
         n_dirty0 = jnp.sum(dirty.astype(jnp.int32))
         didx = jnp.cumsum(dirty.astype(jnp.int32)) - 1
         sel = dirty & (didx < R)
@@ -1418,9 +1430,10 @@ def _flip_sweep_compact(
         )
         out = _match_and_flip(
             pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok,
-            want_frec=relocate,
+            want_frec=relocate, rf_div=rf_div,
         )
-        tri_v, tri_n, cc, flip_info, rep, repv, any_flip = out[:7]
+        tri_v, tri_n, cc, flip_info, rep, repv, any_flip, n_exec = out[:8]
+        n_flips = n_flips + n_exec
         tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / partner beyond the batch); flip
@@ -1432,7 +1445,7 @@ def _flip_sweep_compact(
             True, mode="drop"
         )
         if relocate:
-            frec = out[7]
+            frec = out[8]
             # Affected detection from the record's (contiguous) partner
             # column: 4 bytes gathered per site instead of a 12-byte
             # flip_info row.
@@ -1453,19 +1466,22 @@ def _flip_sweep_compact(
         progress = any_flip | (
             jnp.sum(dirty.astype(jnp.int32)) < n_dirty0
         )
-        return tri_v, tri_n, cc, dirty, site_tri, it + 1, progress
+        return (
+            tri_v, tri_n, cc, dirty, site_tri, it + 1, progress, n_flips
+        )
 
     def cond(carry):
-        *_, it, progress = carry
+        *_, it, progress, _n_flips = carry
         dirty = carry[3]
         return jnp.any(dirty) & (it < cap) & progress
 
-    tri_v, tri_n, cc, dirty, site_tri, it, _ = jax.lax.while_loop(
+    tri_v, tri_n, cc, dirty, site_tri, it, _, n_flips = jax.lax.while_loop(
         cond,
         body,
-        (tri_v, tri_n, cc, dirty, site_tri, jnp.int32(0), True),
+        (tri_v, tri_n, cc, dirty, site_tri, jnp.int32(0), True,
+         jnp.int32(0)),
     )
     return (
         tri_v, tri_n, cc, dirty, it,
-        jnp.sum(dirty.astype(jnp.int32)), site_tri,
+        jnp.sum(dirty.astype(jnp.int32)), site_tri, n_flips,
     )
