@@ -812,9 +812,8 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
             # stranded (cavity overflow / capacity refusal).  A batch
             # that merely ENDED on one zero-winner round (used <
             # k_batch) but still progressed just re-dispatches — a
-            # transient conflict alignment must not double C (each
-            # doubling ~doubles every later round's cost AND compiles a
-            # new program).
+            # transient conflict alignment must not escalate (each
+            # escalation compiles a new program and raises round cost).
             if int(st.n_tris) > M - (2 * C + 2):
                 # the round program refuses wins that would overflow M
                 from ..utils import errors
@@ -823,10 +822,21 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
                     f"cavity build: slot capacity {M} exhausted "
                     f"({int(st.n_tris)} allocated); raise slots_per_site"
                 )
-            C *= 2
+            if C < 512:
+                # TAIL RUNG: the stranded survivors are the few
+                # hull-region sites whose conflict regions span the
+                # cage gap (cavities 50-150 at 10k sites) — switch to a
+                # small-S / big-C shape rather than doubling C for the
+                # full-width rounds (C=64 rounds cost 5x C=32's; the
+                # tail needs depth, not candidate width).  S=256 keeps
+                # the [S, C*(d+1), C] membership compares ~256 MB.
+                C = 512
+                s_cap = 256
+            else:
+                C *= 2
             config.log.info(
-                "cavity build: round %d stranded, escalating C to %d",
-                rounds, C,
+                "cavity build: round %d stranded, escalating C to %d "
+                "(S cap %d)", rounds, C, s_cap,
             )
             if C > 4096:
                 raise RuntimeError(

@@ -792,7 +792,7 @@ def build_2d_chunked(
                         pts, st, dirty, R_s, rsite
                     )
                     n_new = n_new + n_new_i
-                tri_v, tri_n, cc, dirty, _, _, site_tri, _nf = (
+                tri_v, tri_n, cc, dirty, _, _, site_tri, _nf, _nc = (
                     _flip_sweep_compact(
                         pts, st.tri_v, st.tri_n, st.cc, dirty,
                         R, jnp.int32(flips_per_round),
@@ -818,11 +818,13 @@ def build_2d_chunked(
             jax.jit, donate_argnums=(1, 2, 3, 4)
         )
         def sweep(pts, tri_v, tri_n, cc, dirty):
-            # rf_div=2: the post-insert sweep is dirt-saturated, so a
-            # deeper executed-flip cap halves its round count for ~40%
-            # higher per-round cost (net win; insert sweeps keep 4)
+            # rf_div stays 4: measured 3.65M total executed flips over
+            # the SAME 60 rounds at cap R//4 and R//2 — the sweep is
+            # cascade-depth-limited, never cap-limited, so a deeper cap
+            # only paid ~2x shape cost on the compacted phase
+            # (22.6s vs 12.2s at 1M sites)
             return _flip_sweep_compact(
-                pts, tri_v, tri_n, cc, dirty, R, jnp.int32(cap), rf_div=2
+                pts, tri_v, tri_n, cc, dirty, R, jnp.int32(cap)
             )
 
         return sweep
@@ -906,15 +908,15 @@ def build_2d_chunked(
             lambda: make_sweep(R, cap_rounds),
             (pts, tri_v, tri_n, cc, dirty),
         )
-        tri_v, tri_n, cc, dirty, used, nd, _, nf = sw(
+        tri_v, tri_n, cc, dirty, used, nd, _, nf, nc = sw(
             pts, tri_v, tri_n, cc, dirty
         )
         used = int(used)
         swept += used
         nd = int(nd)
         config.log.info(
-            "build: sweep dispatch %d rounds, %d flips, %d dirty",
-            used, int(nf), nd,
+            "build: sweep dispatch %d rounds, %d flips, %d cand-edges, "
+            "%d dirty", used, int(nf), int(nc), nd,
         )
         if nd == 0:
             break
@@ -1417,7 +1419,8 @@ def _flip_sweep_compact(
         site_tri = jnp.zeros((1,), jnp.int32)  # carry placeholder
 
     def body(carry):
-        tri_v, tri_n, cc, dirty, site_tri, it, _progress, n_flips = carry
+        (tri_v, tri_n, cc, dirty, site_tri, it, _progress, n_flips,
+         n_cands) = carry
         n_dirty0 = jnp.sum(dirty.astype(jnp.int32))
         didx = jnp.cumsum(dirty.astype(jnp.int32)) - 1
         sel = dirty & (didx < R)
@@ -1434,6 +1437,9 @@ def _flip_sweep_compact(
         )
         tri_v, tri_n, cc, flip_info, rep, repv, any_flip, n_exec = out[:8]
         n_flips = n_flips + n_exec
+        # candidate EDGES this round (each flippable edge counted from
+        # both sides): executed/(candidates/2) is the matching yield
+        n_cands = n_cands + jnp.sum(cand_ok, dtype=jnp.int32)
         tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / partner beyond the batch); flip
@@ -1467,21 +1473,23 @@ def _flip_sweep_compact(
             jnp.sum(dirty.astype(jnp.int32)) < n_dirty0
         )
         return (
-            tri_v, tri_n, cc, dirty, site_tri, it + 1, progress, n_flips
+            tri_v, tri_n, cc, dirty, site_tri, it + 1, progress, n_flips,
+            n_cands,
         )
 
     def cond(carry):
-        *_, it, progress, _n_flips = carry
+        *_, it, progress, _n_flips, _n_cands = carry
         dirty = carry[3]
         return jnp.any(dirty) & (it < cap) & progress
 
-    tri_v, tri_n, cc, dirty, site_tri, it, _, n_flips = jax.lax.while_loop(
+    (tri_v, tri_n, cc, dirty, site_tri, it, _, n_flips,
+     n_cands) = jax.lax.while_loop(
         cond,
         body,
         (tri_v, tri_n, cc, dirty, site_tri, jnp.int32(0), True,
-         jnp.int32(0)),
+         jnp.int32(0), jnp.int32(0)),
     )
     return (
         tri_v, tri_n, cc, dirty, it,
-        jnp.sum(dirty.astype(jnp.int32)), site_tri, n_flips,
+        jnp.sum(dirty.astype(jnp.int32)), site_tri, n_flips, n_cands,
     )

@@ -59,7 +59,7 @@ def split_only(pts, st, dirty, R_s, rsite):
 
 @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(1, 2))
 def sweep1_reloc(pts, st, dirty, R_, rsite):
-    tri_v, tri_n, cc, dirty, used, nd, site_tri, _nf = _flip_sweep_compact(
+    tri_v, tri_n, cc, dirty, used, nd, site_tri, _nf, _nc = _flip_sweep_compact(
         pts, st.tri_v, st.tri_n, st.cc, dirty, R_, jnp.int32(1),
         site_tri=st.site_tri, r_site=rsite,
     )
@@ -71,7 +71,7 @@ def sweep1_reloc(pts, st, dirty, R_, rsite):
 
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1, 2))
 def sweep1_clean(pts, st, dirty, R_):
-    tri_v, tri_n, cc, dirty, used, nd, _, _nf = _flip_sweep_compact(
+    tri_v, tri_n, cc, dirty, used, nd, _, _nf, _nc = _flip_sweep_compact(
         pts, st.tri_v, st.tri_n, st.cc, dirty, R_, jnp.int32(1),
     )
     return (
