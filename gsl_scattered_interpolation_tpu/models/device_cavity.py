@@ -334,8 +334,22 @@ def _grow_cavities(pts, st: CavityState, sites_q, cand_tri, active, C: int):
     return cav, n_cav, ov
 
 
-def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
+def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False,
+           s_div: int = 16, waves: int = 4):
     """One parallel cavity-insertion round (jit; S, C static).
+
+    ``waves`` extracts a (nearly) MAXIMAL independent set per round: the
+    single mutual-ownership pass accepts only priority-local-minima —
+    measured at 10k 3D sites it saturates at ~T/(8*footprint) winners
+    (27 of 250 candidates; 223 lost ownership) because one loss to ANY
+    overlapping candidate defers the whole cavity.  Each extra wave
+    closes the winners' footprints, drops candidates touching them, and
+    re-runs the ownership pass among the remaining (now mostly
+    conflict-free) candidates — converging toward the sequential greedy
+    independent set at ~8 cheap [S, C]-shaped kernels per wave, with the
+    expensive cavity growth shared by all waves.  Winner sets stay
+    halo-disjoint by construction (wave k candidates touch no tet of any
+    earlier winner), preserving the commutation argument.
 
     Returns (state, n_winners[, stats]) — stats (want_stats=True, debug)
     is [n_cand, n_overflow, n_face_ov, n_manifold_fail, n_own_fail,
@@ -354,7 +368,7 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
     has = claim != INT_MAX
     rank = jnp.cumsum(has.astype(jnp.int32)) - 1
-    # Candidate count is THROTTLED to ~n_tris/16 (traced — no recompile):
+    # Candidate count is THROTTLED to ~n_tris/s_div (traced — no recompile):
     # a winner is a candidate whose priority is a local minimum over its
     # cavity+halo footprint (~40 simplexes in 3D), so candidates beyond
     # ~n_tris/footprint only ADD conflicts — measured at 10k 3D sites:
@@ -367,7 +381,7 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     # overlaps every other's, so win/round saturates at ~2 regardless of
     # how many candidates fight (measured: floor 64 gave win=1 for the
     # first ~50 rounds — pure wasted conflict work)
-    s_eff = jnp.clip(n_tris // 16, 4, S)
+    s_eff = jnp.clip(n_tris // s_div, 4, S)
     # Stride map (every ceil(n_claims/S_eff)-th claim): int32-safe — the
     # proportional form rank*S//n_claims overflows int32 once
     # M * S > 2^31 (and int64 silently truncates on TPU without x64).
@@ -386,11 +400,8 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     memb = jnp.arange(C)[None, :] < n_cav[:, None]  # [S, C]
     cav_safe = jnp.where(memb, cav, 0)
 
-    # -- 3. halo-inclusive ownership -------------------------------------
-    prio = jnp.where(active & ~overflow, cand_site, INT_MAX)
-    owner = jnp.full(M + 1, INT_MAX, jnp.int32)
+    # -- 3. halo geometry --------------------------------------------------
     own_tgt = jnp.where(memb, cav_safe, M)
-    owner = owner.at[own_tgt].min(jnp.broadcast_to(prio[:, None], (S, C)))
     halo = geometry.take_rows(tri_n, cav_safe)      # [S, C, d+1]
     halo_in_cav = jnp.any(
         halo[:, :, :, None] == cav[:, None, None, :], axis=-1
@@ -398,16 +409,26 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     halo_ok = memb[:, :, None] & (halo >= 0) & ~halo_in_cav
     halo_safe = jnp.where(halo_ok, halo, 0)
     halo_tgt = jnp.where(halo_ok, halo, M)
-    owner = owner.at[halo_tgt].min(
-        jnp.broadcast_to(prio[:, None, None], (S, C, dp1))
-    )
-    owner = owner[:M]
-    mine_cav = geometry.take_rows(owner, cav_safe) == prio[:, None]
-    mine_halo = geometry.take_rows(owner, halo_safe) == prio[:, None, None]
-    own_ok = jnp.all(mine_cav | ~memb, axis=1) & jnp.all(
-        mine_halo | ~halo_ok, axis=(1, 2)
-    )
-    win = active & ~overflow & own_ok
+
+    def _own_pass(alive):
+        """Halo-inclusive ownership among the ``alive`` candidates."""
+        prio = jnp.where(alive, cand_site, INT_MAX)
+        owner = jnp.full(M + 1, INT_MAX, jnp.int32)
+        owner = owner.at[own_tgt].min(
+            jnp.broadcast_to(prio[:, None], (S, C))
+        )
+        owner = owner.at[halo_tgt].min(
+            jnp.broadcast_to(prio[:, None, None], (S, C, dp1))
+        )
+        owner = owner[:M]
+        mine_cav = geometry.take_rows(owner, cav_safe) == prio[:, None]
+        mine_halo = (
+            geometry.take_rows(owner, halo_safe) == prio[:, None, None]
+        )
+        ok = jnp.all(mine_cav | ~memb, axis=1) & jnp.all(
+            mine_halo | ~halo_ok, axis=(1, 2)
+        )
+        return alive & ok
 
     # -- 4. boundary faces ------------------------------------------------
     # face (m, f): cavity member m's face f whose neighbor is outside.
@@ -494,7 +515,32 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     # manifold <=> every valid ridge appears exactly twice (the original
     # ridge_deg == 1 check: one OTHER face shares it)
     manifold = jnp.all(jnp.where(valid_s, deg_ok, True), axis=1)
-    win = win & ~face_ov & manifold
+
+    # -- ownership waves ---------------------------------------------------
+    # Geometric validity first (so a deferred-anyway candidate never
+    # blocks a neighbor), then wave 1 = the classic single pass; each
+    # further wave closes the winners' footprints and re-runs ownership
+    # among the untouched losers.
+    valid = active & ~overflow & ~face_ov & manifold
+    win = _own_pass(valid)
+    for _ in range(max(waves - 1, 0)):
+        closed = jnp.zeros(M + 1, bool)
+        closed = closed.at[
+            jnp.where(memb & win[:, None], cav_safe, M)
+        ].set(True)
+        closed = closed.at[
+            jnp.where(halo_ok & win[:, None, None], halo_safe, M)
+        ].set(True)
+        closed_m = closed[:M, None]
+        t_cav = jnp.any(
+            memb & geometry.take_rows(closed_m, cav_safe)[..., 0], axis=1
+        )
+        t_halo = jnp.any(
+            halo_ok & geometry.take_rows(closed_m, halo_safe)[..., 0],
+            axis=(1, 2),
+        )
+        alive = valid & ~win & ~t_cav & ~t_halo
+        win = win | _own_pass(alive)
     # capacity: keep the prefix of winners whose fresh allocations fit in M
     # (dropping a suffix leaves earlier winners' slot bases unchanged)
     fresh_try = jnp.where(win, jnp.maximum(n_face - n_cav, 0), 0)
@@ -601,9 +647,13 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
     # Faces are scanned in Fb-sized BLOCKS, batched over [R, Fb]: the
     # old one-face-per-fori-step layout cost ~5 kernels x F(=2C+2)
     # iterations per chunk — hundreds of ~2-3 ms kernel launches; the
-    # blocked layout does the same gathers in ceil(F/Fb) steps.
-    Fb = min(16, F)
-    n_blk = (F + Fb - 1) // Fb
+    # blocked layout does the same gathers in ceil(F/Fb) steps, and the
+    # trip count follows the ACTUAL max winner face count (traced), not
+    # the static bound F: typical cavities have ~30-45 boundary faces
+    # where F = 2C + 2 can be 130+.
+    Fb = min(32, F)
+    nf_max = jnp.max(jnp.where(win, n_face, 0))
+    n_blk = (nf_max + Fb - 1) // Fb
 
     def chunk_body(c):
         site_tri, ci = c
@@ -687,9 +737,9 @@ def _round(pts, st: CavityState, S: int, C: int, want_stats: bool = False):
         [
             i32(active),
             i32(active & overflow),
-            i32(active & ~overflow & own_ok & face_ov),
-            i32(active & ~overflow & own_ok & ~face_ov & ~manifold),
-            i32(active & ~overflow & ~own_ok),
+            i32(active & ~overflow & face_ov),
+            i32(active & ~overflow & ~face_ov & ~manifold),
+            i32(valid & ~win),
             n_w,
             i32(memb & active[:, None]),
             jnp.sum(jnp.where(active, n_face, 0)),
@@ -703,8 +753,8 @@ def _round_jit(pts, st, S, C):
     return _round(pts, st, S, C)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(1,))
-def _k_rounds_jit(pts, st, S, C, k):
+@functools.partial(jax.jit, static_argnums=(2, 3, 5), donate_argnums=(1,))
+def _k_rounds_jit(pts, st, S, C, k, s_div=16):
     """Up to ``k`` insertion rounds in ONE device dispatch.
 
     The device->host scalar sync costs ~0.5 s through the axon tunnel
@@ -723,7 +773,7 @@ def _k_rounds_jit(pts, st, S, C, k):
 
     def body(c):
         st, it, _progress = c
-        st, n_w = _round(pts, st, S, C)
+        st, n_w = _round(pts, st, S, C, s_div=s_div)
         return st, it + 1, n_w > 0
 
     st, it, _ = jax.lax.while_loop(
@@ -753,10 +803,10 @@ def init_state_seeded(
     )
 
 
-def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
+def build(sites_std, cage_std, cavity_cap: int = 64, s_cap: int = 512,
           slots_per_site: float | None = None, n_real: int | None = None,
-          k_batch: int = 64, init: CavityState | None = None,
-          n_left0: int | None = None):
+          k_batch: int = 128, init: CavityState | None = None,
+          n_left0: int | None = None, s_div: int = 32):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -799,7 +849,9 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
         # compiled round program per (C, bucket) instead of a ladder of
         # 14 — compile via the axon tunnel costs minutes each.
         S = 1 << max(0, (min(N, s_cap) - 1)).bit_length()
-        st, packed = _k_rounds_jit(pts, st, S, C, jnp.int32(k_batch))
+        st, packed = _k_rounds_jit(
+            pts, st, S, C, jnp.int32(k_batch), s_div
+        )
         # ONE device->host sync per k-round batch (packed scalars).
         used, new_left = (int(x) for x in np.asarray(packed))
         progressed = new_left < n_left
@@ -822,18 +874,12 @@ def build(sites_std, cage_std, cavity_cap: int = 32, s_cap: int = 2048,
                     f"cavity build: slot capacity {M} exhausted "
                     f"({int(st.n_tris)} allocated); raise slots_per_site"
                 )
-            if C < 512:
-                # TAIL RUNG: the stranded survivors are the few
-                # hull-region sites whose conflict regions span the
-                # cage gap (cavities 50-150 at 10k sites) — switch to a
-                # small-S / big-C shape rather than doubling C for the
-                # full-width rounds (C=64 rounds cost 5x C=32's; the
-                # tail needs depth, not candidate width).  S=256 keeps
-                # the [S, C*(d+1), C] membership compares ~256 MB.
-                C = 512
-                s_cap = 256
-            else:
-                C *= 2
+            # Plain x2 escalation.  A dedicated small-S/big-C "tail rung"
+            # (S=256, C=512) was measured WORSE at 10k 3D sites (41s vs
+            # 28s): the stranded survivors' cavities fit C=64-128, and a
+            # C=512 round costs ~8x a C=64 one ([S, C*(d+1), C]
+            # membership traffic is quadratic in C).
+            C *= 2
             config.log.info(
                 "cavity build: round %d stranded, escalating C to %d "
                 "(S cap %d)", rounds, C, s_cap,
@@ -858,12 +904,13 @@ def triangulate(
     key=None,
     dtype=jnp.float64,
     grid_res: int = 256,
-    cavity_cap: int = 32,
-    s_cap: int = 2048,
+    cavity_cap: int = 64,
+    s_cap: int = 512,
     slots_per_site: float | None = None,
     jitter_ulps: float | None = None,
     seed_import: str = "auto",
     seed_min: int = 4096,
+    s_div: int = 32,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -951,26 +998,49 @@ def triangulate(
         except Exception:  # pragma: no cover - scipy is baked in
             _SciDelaunay = None
         if _SciDelaunay is not None:
-            # n/4: the seed hull's deficit sets the size of the
-            # big-cavity tail (sites outside the current hull escalate
-            # the cavity cap; measured at 10k: m=2048 left a ~2.9k-site
-            # tail that cost 25 of the build's 30 s)
-            m = min(n, max(2048, n // 4))
+            # Seed subset = the BOUNDARY SHELL plus a random fill up to
+            # max(2048, n/8).  The shell (sites within ~0.75 mean
+            # spacings of the data box boundary) matters more than the
+            # count: any near-boundary site left OUT of the seed has a
+            # conflict region spanning the shared cage-gap sliver fan —
+            # those sites' cavities measured 30-70 tets and serialized
+            # the whole tail on the ownership test (21 winners from 250
+            # candidates at <700 left).  With the shell seeded, the
+            # remaining sites are interior: cavities stay ~20 and the
+            # tail drains at the normal bulk rate.
+            m = min(n, max(2048, n // 8))
             np_dtype = np.dtype(dtype)
             rounded = sites_padded[:n].astype(np_dtype).astype(np.float64)
             cage_r = np.asarray(cage_std, np.float64)
-            sd = _SciDelaunay(np.concatenate([cage_r, rounded[:m]]))
-            tets0 = np.asarray(sd.simplices, np.int32)
+            delta = 0.75 * n ** (-1.0 / d)
+            bdist = np.minimum(rounded + 0.5, 0.5 - rounded).min(axis=1)
+            in_seed = bdist < delta
+            fill = np.nonzero(~in_seed)[0]
+            need = max(0, m - int(in_seed.sum()))
+            in_seed[fill[:need]] = True  # fill is in shuffled order
+            seed_ids = np.nonzero(in_seed)[0]
+            rest_ids = np.nonzero(~in_seed)[0]
+            sd = _SciDelaunay(
+                np.concatenate([cage_r, rounded[seed_ids]])
+            )
+            # remap Qhull's local point ids (0..d cage, d+1+i =
+            # seed_ids[i]) to global point ids; simplex ids are
+            # positional and need no remap
+            lmap = np.concatenate(
+                [np.arange(d + 1), seed_ids + d + 1]
+            ).astype(np.int32)
+            tets0 = lmap[np.asarray(sd.simplices, np.int64)]
             nbrs0 = np.asarray(sd.neighbors, np.int32)
-            loc = np.asarray(sd.find_simplex(rounded[m:]), np.int64)
+            loc = np.asarray(sd.find_simplex(rounded[rest_ids]), np.int64)
             miss = loc < 0
             if miss.any():  # rare: rounding on a cage-gap face
                 loc[miss] = sd.find_simplex(
-                    rounded[m:][miss], bruteforce=True
+                    rounded[rest_ids][miss], bruteforce=True
                 )
                 loc = np.maximum(loc, 0)
             site_tri0 = np.full(n_pad, -1, np.int32)
-            site_tri0[m:n] = loc.astype(np.int32)
+            site_tri0[rest_ids] = loc.astype(np.int32)
+            m = len(seed_ids)
             if slots_per_site is None:
                 slots_per_site_eff = {2: 2.2, 3: 9.0, 4: 45.0}.get(
                     d, 100.0
@@ -1000,6 +1070,7 @@ def triangulate(
         n_real=n,
         init=init,
         n_left0=n_left0,
+        s_div=s_div,
     )
     points_raw = np.concatenate([cage_raw, sites_shuffled])
     tri = device_tri.from_arrays(
