@@ -10,7 +10,11 @@ call: route them through :func:`aot_compile` so each distinct program is
 traced/lowered/loaded once per process.
 """
 
+import time
+
 import jax
+
+from . import config
 
 _CACHE: dict = {}
 
@@ -29,6 +33,17 @@ def aot_compile(label, make_jit, example_args):
     )
     ent = _CACHE.get(key)
     if ent is None:
-        ent = make_jit().trace(*example_args).lower().compile()
+        t0 = time.perf_counter()
+        traced = make_jit().trace(*example_args)
+        t1 = time.perf_counter()
+        lowered = traced.lower()
+        t2 = time.perf_counter()
+        ent = lowered.compile()
+        t3 = time.perf_counter()
         _CACHE[key] = ent
+        config.log.info(
+            "aot %s: trace %.1fs lower %.1fs compile/load %.1fs",
+            label[0] if isinstance(label, tuple) else label,
+            t1 - t0, t2 - t1, t3 - t2,
+        )
     return ent
