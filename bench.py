@@ -69,7 +69,21 @@ def headline():
         lambda q: dt.interp(tri, None, q, method=method, resp_tri=resp_tri)
     )
     Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(chunk, 2)), jnp.float32)
-    jax.block_until_ready(f(Q))  # compile
+    out0 = f(Q)
+    jax.block_until_ready(out0)  # compile
+    if method != "dense":
+        # agreement gate: a broken fast path must not report a plausible
+        # throughput (same check as tools/exp_headline.py); the fast
+        # path's f32 score can pick an adjacent triangle on boundary
+        # queries — the linear extension there is continuous, so values
+        # agree to O(score noise x gradient jump).
+        ref0 = dt.interp(
+            tri, None, Q[:100_000], method="dense", resp_tri=resp_tri
+        )
+        diff = float(
+            jnp.max(jnp.abs(out0[:100_000] - ref0))
+        )
+        assert diff < 1e-3, f"{method} vs dense locate: diff {diff}"
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         out = f(Q)
