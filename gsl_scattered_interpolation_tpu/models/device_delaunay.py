@@ -698,7 +698,7 @@ def build_2d_chunked(
     ladder_factor: int = 8,
     r_compact: int = 524288,
     r_site: int = 1 << 21,
-    sweep_rounds: int = 32,
+    sweep_rounds: int = 8,
 ):
     """Host-orchestrated chunked build: short device executions in batches
     of up to ``k_batch`` insertion rounds per dispatch.
@@ -710,7 +710,12 @@ def build_2d_chunked(
     * **compact rounds** — splits and flips run on [R]-compacted
       workspaces (:func:`_split_round_compact`,
       :func:`_flip_sweep_compact`) with packed-record site relocation, so
-      a round costs O(R + activity), not O(2N+3);
+      a round costs O(R + activity), not O(2N+3).  The narrow per-array
+      layout (tri_v/tri_n/cc as separate tables) is deliberate: a merged
+      [M, 8]-row variant measured ~16x slower per sweep round on a v5e —
+      TPU row-slice gathers pay for the full padded row, so packing
+      unrelated columns into one row multiplies gathered bytes for no
+      kernel saving (measured 2026-08; see git history for the variant);
     * **one program per phase** — a single (R, rsite) rung serves the
       whole insert phase and another the final sweep, and both are
       AOT-compiled through the module-wide executable cache
@@ -720,7 +725,9 @@ def build_2d_chunked(
       single multi-minute device execution trips the TPU runtime
       watchdog, and each dispatch costs one ~0.3 s scalar readback, so
       rounds are batched (``k_batch``; the device loop self-terminates
-      the moment every site is inserted).
+      the moment every site is inserted), while sweep dispatches stay
+      SHORT (``sweep_rounds``, a traced operand — one compiled program
+      serves every batch size).
 
     ``start_cap``/``ladder_factor`` keep the capacity-staged mode for
     memory-constrained builds (each rung compiles its own programs);
@@ -743,7 +750,7 @@ def build_2d_chunked(
             p = jnp.concatenate([cage.astype(sites.dtype), sites])
             return (
                 p,
-                _init_state_packed(p, Np, n_real_, cap=cap),
+                _init_state(p, Np, n_real_, cap=cap),
                 jnp.zeros(cap, bool),
             )
 
@@ -771,7 +778,7 @@ def build_2d_chunked(
             jax.jit, static_argnums=(), donate_argnums=(1, 2)
         )
         def k_rounds(pts, st, dirty, k):
-            M = st.trp.shape[0]
+            M = st.tri_v.shape[0]
 
             def cond(c):
                 st, dirty, it, progress = c
@@ -788,18 +795,20 @@ def build_2d_chunked(
                 R_s = max(min(R // 2, M // 4), 1)
                 n_new = jnp.int32(0)
                 for _ in range(splits_per_round):
-                    st, dirty, n_new_i = _split_round_packed(
+                    st, dirty, n_new_i = _split_round_compact(
                         pts, st, dirty, R_s, rsite
                     )
                     n_new = n_new + n_new_i
-                trp, dirty, _, _, site_tri, _nf, _nc = (
-                    _flip_sweep_packed(
-                        pts, st.trp, dirty,
+                tri_v, tri_n, cc, dirty, _, _, site_tri, _nf, _nc = (
+                    _flip_sweep_compact(
+                        pts, st.tri_v, st.tri_n, st.cc, dirty,
                         R, jnp.int32(flips_per_round),
                         site_tri=st.site_tri, r_site=rsite,
                     )
                 )
-                st = PackedState(trp, st.n_tris, site_tri, st.n_left)
+                st = BuildState(
+                    tri_v, tri_n, cc, st.n_tris, site_tri, st.n_left
+                )
                 # A claim-less round at a full capacity is a stall:
                 # return to the host for a grow instead of spinning.
                 return st, dirty, it + 1, n_new > 0
@@ -811,28 +820,34 @@ def build_2d_chunked(
 
         return k_rounds
 
-    def make_sweep(R, cap):
+    def make_sweep(R):
+        # k (rounds per dispatch) is a traced operand: one program serves
+        # every batch size, and the host keeps each device execution
+        # short — a long saturated-sweep execution trips the TPU runtime
+        # watchdog (observed as "worker crashed" on slow axon servers).
         @functools.partial(
-            jax.jit, donate_argnums=(1, 2)
+            jax.jit, donate_argnums=(1, 2, 3, 4)
         )
-        def sweep(pts, trp, dirty):
+        def sweep(pts, tri_v, tri_n, cc, dirty, k):
             # rf_div stays 4: measured 3.65M total executed flips over
             # the SAME 60 rounds at cap R//4 and R//2 — the sweep is
             # cascade-depth-limited, never cap-limited, so a deeper cap
             # only paid ~2x shape cost on the compacted phase
             # (22.6s vs 12.2s at 1M sites)
-            return _flip_sweep_packed(
-                pts, trp, dirty, R, jnp.int32(cap)
+            return _flip_sweep_compact(
+                pts, tri_v, tri_n, cc, dirty, R, k
             )
 
         return sweep
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def grow(pts, st, dirty, new_cap):
-        M = st.trp.shape[0]
+        M = st.tri_v.shape[0]
         pad = new_cap - M
-        return PackedState(
-            jnp.concatenate([st.trp, jnp.full((pad, 8), -1, jnp.int32)]),
+        return BuildState(
+            jnp.concatenate([st.tri_v, jnp.full((pad, 3), -1, jnp.int32)]),
+            jnp.concatenate([st.tri_n, jnp.full((pad, 3), -1, jnp.int32)]),
+            jnp.concatenate([st.cc, jnp.zeros((pad, 2), st.cc.dtype)]),
             st.n_tris,
             st.site_tri,
             st.n_left,
@@ -875,9 +890,6 @@ def build_2d_chunked(
         )
         td = _time.perf_counter()
         st, dirty = kr(pts, st, dirty, jnp.int32(k_batch))
-        t_call = _time.perf_counter() - td
-        if t_call > 1.0:
-            config.log.info("build: k_rounds enqueue %.2fs", t_call)
         n_left = int(st.n_left)  # forces the sync; count it in the wall
         rounds += k_batch
         config.log.info(
@@ -892,73 +904,80 @@ def build_2d_chunked(
     t1 = _time.perf_counter()
     # Dirty-compacted cleanup, continuing from the insert rounds' carried
     # dirty set (the non-dirty remainder is already locally Delaunay).
-    trp = st.trp
+    tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
     swept = 0
     nd = full_m  # upper bound; refined by each dispatch's readback
     r_small = min(32768, r_compact, full_m)
+    # Adaptive big-rung dispatch depth: start short (cheap diagnostics,
+    # watchdog-safe on degraded servers), double while dispatches stay
+    # fast — k is traced, so every depth reuses one compiled program.
+    k_sweep = sweep_rounds
     while True:
         # Two-rung drain: the first dispatches chew the post-insert bulk
         # on the full workspace; the long convergence tail (flip cascades
         # re-dirtying a few thousand rows) runs on a small one, where
         # every [R]-sized pass (candidates, matching, repair) is ~4x
-        # cheaper.  More tail rounds per dispatch: they're cheap and it
-        # saves ~0.3s of scalar readback each.
+        # cheaper.  Tail rounds are cheap enough to batch deep (fewer
+        # ~0.3 s scalar readbacks); big-rung dispatches stay short for
+        # the watchdog.
         tail = nd < (3 * r_small) // 4
         R = r_small if tail else min(r_compact, full_m)
-        cap_rounds = 4 * sweep_rounds if tail else sweep_rounds
+        cap_rounds = 16 * sweep_rounds if tail else k_sweep
         sw = _aot_compile(
-            ("sweep_p", full_m, R, cap_rounds, N, str(dtype)),
-            lambda: make_sweep(R, cap_rounds),
-            (pts, trp, dirty),
+            ("sweep", full_m, R, N, str(dtype)),
+            lambda: make_sweep(R),
+            (pts, tri_v, tri_n, cc, dirty, jnp.int32(cap_rounds)),
         )
-        trp, dirty, used, nd, _, nf, nc = sw(pts, trp, dirty)
+        t_dispatch = _time.perf_counter()
+        tri_v, tri_n, cc, dirty, used, nd, _, nf, nc = sw(
+            pts, tri_v, tri_n, cc, dirty, jnp.int32(cap_rounds)
+        )
         used = int(used)
+        t_dispatch = _time.perf_counter() - t_dispatch
         swept += used
         nd = int(nd)
         config.log.info(
-            "build: sweep dispatch %d rounds, %d flips, %d cand-edges, "
-            "%d dirty", used, int(nf), int(nc), nd,
+            "build: sweep dispatch %d rounds (%.2fs), %d flips, "
+            "%d cand-edges, %d dirty", used, t_dispatch, int(nf),
+            int(nc), nd,
         )
         if nd == 0:
             break
         if used == cap_rounds:
             # Cap-limited (the per-dispatch round bound keeps a single
             # device execution under the TPU runtime watchdog) — still
-            # progressing, keep sweeping.
+            # progressing, keep sweeping; go deeper while execution
+            # stays comfortably under the watchdog horizon.
+            if not tail and t_dispatch < 10.0:
+                k_sweep = min(2 * k_sweep, 64)
             config.log.info(
                 "build: sweep continues, %d dirty (%d rounds)", nd, swept
             )
             continue
         # Fixpoint with dirt left (un-executable candidates): finish on
         # the dense path, whose termination rule ignores candidates.
-        # Rare path: unpack to the dense-layout BuildState once.
         config.log.info("build: sweep fixpoint with %d dirty rows", nd)
-        stx = BuildState(
-            trp[:, 0:3], trp[:, 3:6], trp[:, 6:8].astype(dtype),
-            st.n_tris, st.site_tri, st.n_left
+        st = BuildState(
+            tri_v, tri_n, cc, st.n_tris, st.site_tri, st.n_left
         )
         flip_rounds_used = 0
         cap = max(1, cleanup_chunk // 8)
         for _ in range(max_cleanup_chunks):
-            stx, used = cleanup(pts, stx, jnp.int32(cap))
+            st, used = cleanup(pts, st, jnp.int32(cap))
             used = int(used)
             flip_rounds_used += used
             if used < cap:
                 break
             if cap < cleanup_chunk:
                 cap *= 2
-        config.log.info(
-            "build: <=%d insert rounds %.1fs, %d sweep rounds %.1fs",
-            rounds, t1 - t0, swept, _time.perf_counter() - t1,
-        )
-        alive = stx.tri_v[:, 0] >= 0
-        return stx.tri_v, stx.tri_n, alive, st.n_tris
+        tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
+        break
     config.log.info(
         "build: <=%d insert rounds %.1fs, %d sweep rounds %.1fs",
         rounds, t1 - t0, swept, _time.perf_counter() - t1,
     )
-    alive = trp[:, 0] >= 0
-    return trp[:, 0:3], trp[:, 3:6], alive, st.n_tris
+    alive = tri_v[:, 0] >= 0
+    return tri_v, tri_n, alive, st.n_tris
 
 
 def triangulate(
@@ -1501,425 +1520,3 @@ def _flip_sweep_compact(
         jnp.sum(dirty.astype(jnp.int32)), site_tri, n_flips, n_cands,
     )
 
-
-# ---------------------------------------------------------------------------
-# Packed-row chunked build: ONE [M, 8] int32 array instead of tri_v/tri_n/cc
-# ---------------------------------------------------------------------------
-#
-# Per-round cost on this runtime is kernel-launch-bound (~2-3 ms per
-# post-fusion kernel, nearly independent of operand size); packing the
-# three per-triangle arrays into one int32 row — [v0 v1 v2 n0 n1 n2 ok
-# vsum] — turns every per-round gather/scatter TRIPLE into a single
-# kernel.  The extra gathered bytes are free next to the launch tax (the
-# widest per-round gather moves ~50 MB, ~0.1 ms of HBM time).  The
-# executed-flip record likewise packs the relocation record and the
-# repair map into one [M, 8] float row [e0 e1 c0 c1 sg partner apex_own
-# apex_par] — ids < 2^24 are exact in float32, and cols 0-5 keep the
-# _assign_flip_side_rec layout so that decider is reused unchanged.
-
-
-class PackedState(NamedTuple):
-    trp: jax.Array       # [M, 8] int32 packed triangle rows
-    n_tris: jax.Array    # scalar int32
-    site_tri: jax.Array  # [N] int32
-    n_left: jax.Array    # scalar int32
-
-
-def _init_state_packed(pts, N: int, n_real=None, cap=None) -> PackedState:
-    st = _init_state(pts, N, n_real, cap)
-    trp = jnp.concatenate(
-        [st.tri_v, st.tri_n, st.cc.astype(jnp.int32)], axis=1
-    )
-    return PackedState(trp, st.n_tris, st.site_tri, st.n_left)
-
-
-def _edge_candidates_p(pts, trp, rows, rvalid):
-    """Packed :func:`_edge_candidates`: 3 gathers (was 5).
-
-    Returns (tr, cand_ok): the gathered packed rows plus per-edge
-    candidacy.  Semantics identical — same canonical sorted-id
-    compensated verdicts, same degenerate handling.
-    """
-    rs = jnp.where(rvalid, rows, 0)
-    tr = geometry.take_rows(trp, rs)    # [R, 8]
-    tv = tr[:, 0:3]
-    tn = tr[:, 3:6]
-    alive = rvalid & (tv[:, 0] >= 0)
-    cok = tr[:, 6] > 0
-
-    u3 = tn
-    valid3 = alive[:, None] & (u3 >= 0)
-    uu3 = jnp.where(valid3, u3, 0)
-    nb = geometry.take_rows(trp, uu3)   # [R, 3, 8]
-    degen_u = nb[..., 6] < 1
-    p1_id = jnp.roll(tv, -1, axis=1)
-    p2_id = jnp.roll(tv, -2, axis=1)
-    far3 = nb[..., 7] - p1_id - p2_id
-    far3 = jnp.clip(far3, 0, pts.shape[0] - 1)
-    p6 = geometry.take_rows(
-        pts, jnp.concatenate([tv, far3], axis=1)
-    )  # [R, 6, 2]
-    apex3, fq3 = p6[:, :3], p6[:, 3:]
-    p1q = jnp.roll(apex3, -1, axis=1)
-    p2q = jnp.roll(apex3, -2, axis=1)
-    o1 = robust.orient2d_ds(apex3, fq3, p1q)
-    o2 = robust.orient2d_ds(apex3, fq3, p2q)
-    convex3 = jnp.sign(o1) * jnp.sign(o2) < 0
-    ids = (tv, p1_id, far3, p2_id)
-    xs = (apex3[..., 0], p1q[..., 0], fq3[..., 0], p2q[..., 0])
-    ys = (apex3[..., 1], p1q[..., 1], fq3[..., 1], p2q[..., 1])
-    ids, xs, ys = list(ids), list(xs), list(ys)
-    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-        sw = ids[i] > ids[j]
-        for arr in (ids, xs, ys):
-            lo = jnp.where(sw, arr[j], arr[i])
-            hi = jnp.where(sw, arr[i], arr[j])
-            arr[i], arr[j] = lo, hi
-    sp = [jnp.stack([xs[k], ys[k]], axis=-1) for k in range(4)]
-    O = robust.orient2d_ds(sp[0], sp[1], sp[2])
-    S = robust.incircle_ds(sp[0], sp[1], sp[2], sp[3]) * jnp.sign(O)
-    quad = jnp.stack([tv, p1_id, far3, p2_id], -1)
-    p3 = jnp.argmax(quad, axis=-1)
-    p3_on_flip_diag = (p3 == 0) | (p3 == 2)
-    want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
-    want = want & (S != 0)
-    degen_t = ~cok[:, None]
-    cand_ok = valid3 & convex3 & (want | degen_t | degen_u)
-    return tr, cand_ok
-
-
-def _match_and_flip_p(pts, trp, rows, rvalid, tr, cand_ok, rf_div: int = 4):
-    """Packed :func:`_match_and_flip`: 4 gathers + 3 scatters (was 9 + 7).
-
-    Returns (trp, fi [M, 8] float, rep [6*Rf], repv, any_flip, n_exec).
-    ``fi`` rows: [e0 e1 c0 c1 sg partner apex_own apex_par] — relocation
-    record (cols 0-5, _assign_flip_side_rec layout) and repair map
-    (cols 5-7) in one scatter.
-    """
-    M = trp.shape[0]
-    dtype = pts.dtype
-    tv = tr[:, 0:3]
-    tn = tr[:, 3:6]
-    rs = jnp.where(rvalid, rows, 0)
-    partner_cand = jnp.where(cand_ok, tn, INT_MAX)
-    pick = jnp.min(partner_cand, axis=-1)
-    pick_ok = pick != INT_MAX
-    pick_safe = jnp.where(pick_ok, pick, 0)
-    pick_g = jnp.full(M, INT_MAX, jnp.int32).at[
-        jnp.where(rvalid, rows, M + 1)
-    ].set(pick, mode="drop")
-    mutual = pick_ok & (pick_g[pick_safe] == rs) & (pick_safe != rs)
-    do = mutual & (rs < pick_safe)
-    R = do.shape[0]
-    Rf = max(R // rf_div, 64)
-    frank = jnp.cumsum(do.astype(jnp.int32)) - 1
-    do = do & (frank < Rf)
-    any_flip = jnp.any(do)
-
-    fidx = jnp.full(Rf + 1, -1, jnp.int32).at[
-        jnp.where(do, frank, Rf)
-    ].set(jnp.arange(R, dtype=jnp.int32), mode="drop")[:Rf]
-    fvalid = fidx >= 0
-    fs = jnp.where(fvalid, fidx, 0)
-    ts = jnp.where(fvalid, rs[fs], 0)
-    us = jnp.where(fvalid, pick_safe[fs], 0)
-    trf = geometry.take_rows(tr, fs)        # [Rf, 8] (rows of tr)
-    tvf, tnf = trf[:, 0:3], trf[:, 3:6]
-    ur = geometry.take_rows(trp, us)        # [Rf, 8]
-    uvv, unn = ur[:, 0:3], ur[:, 3:6]
-    k_slot = jnp.argmax(tnf == us[:, None], axis=-1)
-    j_slot = jnp.argmax(unn == ts[:, None], axis=-1)
-    c = jnp.take_along_axis(tvf, k_slot[:, None], -1)[:, 0]
-    e = jnp.take_along_axis(uvv, j_slot[:, None], -1)[:, 0]
-    pv = jnp.take_along_axis(tvf, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    qv = jnp.take_along_axis(tvf, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
-    Np = jnp.take_along_axis(tnf, ((k_slot + 1) % 3)[:, None], -1)[:, 0]
-    Nq = jnp.take_along_axis(tnf, ((k_slot + 2) % 3)[:, None], -1)[:, 0]
-    p_in_u = jnp.argmax(uvv == pv[:, None], axis=-1)
-    q_in_u = jnp.argmax(uvv == qv[:, None], axis=-1)
-    Up = jnp.take_along_axis(unn, p_in_u[:, None], -1)[:, 0]
-    Uq = jnp.take_along_axis(unn, q_in_u[:, None], -1)[:, 0]
-
-    pid4 = jnp.stack([e, c, qv, pv], -1)
-    p4 = geometry.take_rows(pts, jnp.clip(pid4, 0, pts.shape[0] - 1))
-    e_pt, c_pt, q_pt, p_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
-    D1 = robust.orient2d_ds(e_pt, c_pt, q_pt)
-    D2 = robust.orient2d_ds(e_pt, c_pt, p_pt)
-    i32 = lambda x: x.astype(jnp.int32)
-
-    rows_tu = jnp.where(
-        jnp.concatenate([fvalid, fvalid]),
-        jnp.concatenate([ts, us]),
-        M + 1,
-    )
-    new_rows = jnp.concatenate(
-        [
-            jnp.stack(
-                [e, c, qv, Np, Up, us, i32(D1 != 0), e + c + qv], -1
-            ),
-            jnp.stack(
-                [e, c, pv, Nq, Uq, ts, i32(D2 != 0), e + c + pv], -1
-            ),
-        ]
-    )
-    trp = trp.at[rows_tu].set(new_rows, mode="drop")
-
-    sg1 = jnp.where(D1 < 0, -1.0, 1.0).astype(dtype)
-    sg2 = jnp.where(D2 < 0, -1.0, 1.0).astype(dtype)
-    diag = jnp.concatenate([e_pt, c_pt], -1)  # [Rf, 4]
-    fdt = lambda x: x.astype(dtype)[:, None]
-    fi = jnp.full((M, 8), -1.0, dtype).at[rows_tu].set(
-        jnp.concatenate(
-            [
-                jnp.concatenate(
-                    [diag, sg1[:, None], fdt(us), fdt(qv), fdt(pv)], -1
-                ),
-                jnp.concatenate(
-                    [diag, sg2[:, None], fdt(ts), fdt(pv), fdt(qv)], -1
-                ),
-            ]
-        ),
-        mode="drop",
-    )
-    rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
-    repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
-    n_exec = jnp.sum(fvalid, dtype=jnp.int32)
-    return trp, fi, rep, repv, any_flip, n_exec
-
-
-def _repair_rows_p(trp, fi, rrows, rvalid):
-    """Packed :func:`_repair_rows`: 2 gathers + 1 scatter (was 3 + 1)."""
-    M = trp.shape[0]
-    rs = jnp.where(rvalid, rrows, 0)
-    trr = geometry.take_rows(trp, rs)       # [K, 8]
-    tvr, tnr = trr[:, 0:3], trr[:, 3:6]
-    info = geometry.take_rows(
-        fi, jnp.where(tnr >= 0, tnr, 0)
-    )  # [K, 3, 8]
-    partner = info[..., 5].astype(jnp.int32)
-    apex_own = info[..., 6].astype(jnp.int32)
-    apex_par = info[..., 7].astype(jnp.int32)
-    stale = rvalid[:, None] & (tnr >= 0) & (partner >= 0)
-    a = jnp.roll(tvr, -1, axis=-1)
-    b = jnp.roll(tvr, -2, axis=-1)
-    owner = jnp.where(
-        (a == apex_own) | (b == apex_own),
-        tnr,
-        jnp.where((a == apex_par) | (b == apex_par), partner, tnr),
-    )
-    out = jnp.where(stale, owner, tnr)
-    return trp.at[jnp.where(rvalid, rrows, M + 1), 3:6].set(
-        out, mode="drop"
-    )
-
-
-def _split_round_packed(pts, st: PackedState, dirty, R: int, r_site: int):
-    """Packed :func:`_split_round_compact`: same claims, same relocation
-    decisions, ~60% of the kernel count (single packed gathers/writes)."""
-    M = st.trp.shape[0]
-    if 2 * R >= M:
-        raise ValueError(f"_split_round_packed needs 2R < M ({R=}, {M=})")
-    N = st.site_tri.shape[0]
-    dtype = pts.dtype
-    site_ids = jnp.arange(N, dtype=jnp.int32)
-    trp, n_tris, site_tri, n_left = st
-
-    # 1. claims
-    tgt = jnp.where(site_tri >= 0, site_tri, M)
-    claim = jnp.full(M + 1, INT_MAX, jnp.int32).at[tgt].min(site_ids)[:M]
-    has = claim != INT_MAX
-    rank = jnp.cumsum(has.astype(jnp.int32)) - 1
-    has = has & (n_tris + 2 * (rank + 1) <= M) & (rank < R)
-
-    # 2. compact splitting rows
-    prow = jnp.full(R + 1, -1, jnp.int32).at[
-        jnp.where(has, rank, R)
-    ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")[:R]
-    pvalid = prow >= 0
-    ps = jnp.where(pvalid, prow, 0)
-    i_r = jnp.arange(R, dtype=jnp.int32)
-    ca = jnp.where(pvalid, n_tris + 2 * i_r, -1)
-    cb = jnp.where(pvalid, n_tris + 2 * i_r + 1, -1)
-    s_pid = (claim[ps] + 3).astype(jnp.int32)
-    trr = geometry.take_rows(trp, ps)       # [R, 8] ONE gather
-    v0, v1, v2 = trr[:, 0], trr[:, 1], trr[:, 2]
-    n0, n1, n2 = trr[:, 3], trr[:, 4], trr[:, 5]
-    n_new = jnp.sum(pvalid.astype(jnp.int32))
-
-    # 3. split records
-    rows_p = jnp.where(pvalid, prow, M + 1)
-    srec = jnp.full((M, 4), -1, jnp.int32).at[rows_p].set(
-        jnp.stack([v0, v1, ca, cb], -1), mode="drop"
-    )
-    split_flag = srec[:, 2] >= 0
-
-    # 4. pre-resolve child external pointers (see _split_round_compact)
-    nall = jnp.where(jnp.concatenate([pvalid] * 3),
-                     jnp.concatenate([n0, n1, n2]), -1)
-    rec3 = geometry.take_rows(srec, jnp.where(nall >= 0, nall, 0))
-    nsplit = (nall >= 0) & (rec3[:, 2] >= 0)
-    fa = jnp.concatenate([v1, v2, v0])
-    fb = jnp.concatenate([v2, v0, v1])
-    rv0, rv1 = rec3[:, 0], rec3[:, 1]
-    owner = jnp.where(
-        (fa != rv0) & (fb != rv0),
-        nall,
-        jnp.where((fa != rv1) & (fb != rv1), rec3[:, 2], rec3[:, 3]),
-    )
-    next0 = jnp.where(nsplit, owner, nall)
-    e0, e1, e2 = next0[:R], next0[R : 2 * R], next0[2 * R :]
-
-    # 5. coordinates + orientation predicates
-    pid4 = jnp.stack([s_pid, v0, v1, v2], -1)
-    p4 = geometry.take_rows(pts, pid4)
-    s_pt, v0_pt, v1_pt, v2_pt = p4[:, 0], p4[:, 1], p4[:, 2], p4[:, 3]
-    D0 = robust.orient2d_ds(s_pt, v1_pt, v2_pt)
-    D1 = robust.orient2d_ds(s_pt, v2_pt, v0_pt)
-    D2 = robust.orient2d_ds(s_pt, v0_pt, v1_pt)
-    o = jnp.where(D0 < 0, -1.0, 1.0).astype(dtype)
-    i32 = lambda x: x.astype(jnp.int32)
-
-    rec_f = jnp.full((M, 11), -1.0, dtype).at[rows_p].set(
-        jnp.concatenate(
-            [p4.reshape(R, 8), o[:, None],
-             ca.astype(dtype)[:, None], cb.astype(dtype)[:, None]],
-            -1,
-        ),
-        mode="drop",
-    )
-
-    # 6. write rows: fresh children as ONE contiguous block write, the
-    # reused parent slots as ONE row scatter
-    psl = jnp.where(pvalid, prow, -1)
-    blk = jnp.stack(
-        [
-            jnp.stack(
-                [s_pid, v2, v0, e1, cb, psl,
-                 i32(D1 != 0), s_pid + v2 + v0], -1
-            ),
-            jnp.stack(
-                [s_pid, v0, v1, e2, psl, ca,
-                 i32(D2 != 0), s_pid + v0 + v1], -1
-            ),
-        ],
-        axis=1,
-    ).reshape(2 * R, 8)
-    start = jnp.minimum(n_tris, M - 2 * R)
-    ofs = n_tris - start
-    j2 = jnp.arange(2 * R, dtype=jnp.int32)
-    use = (j2 >= ofs) & (j2 < ofs + 2 * n_new)
-
-    def blk_write(arr, blkv):
-        idx = (start,) + (jnp.int32(0),) * (arr.ndim - 1)
-        cur = jax.lax.dynamic_slice(arr, idx, (2 * R,) + arr.shape[1:])
-        mask = use.reshape((2 * R,) + (1,) * (arr.ndim - 1))
-        blkv = jnp.where(mask, jnp.roll(blkv, ofs, axis=0), cur)
-        return jax.lax.dynamic_update_slice(arr, blkv, idx)
-
-    trp = blk_write(trp, blk)
-    trp = trp.at[rows_p].set(
-        jnp.stack(
-            [s_pid, v1, v2, e0, ca, cb, i32(D0 != 0), s_pid + v1 + v2],
-            -1,
-        ),
-        mode="drop",
-    )
-    n_tris = (n_tris + 2 * n_new).astype(jnp.int32)
-
-    # 7. one-slot repair of non-split neighbors
-    nb = jnp.concatenate([n1, n2])
-    own = jnp.concatenate([ca, cb])
-    nb_split = jnp.concatenate([nsplit[R : 2 * R], nsplit[2 * R :]])
-    nb_ok = jnp.concatenate([pvalid] * 2) & (nb >= 0) & ~nb_split
-    nrow = geometry.take_rows(trp, jnp.where(nb_ok, nb, 0))[:, 3:6]
-    ps2 = jnp.concatenate([ps] * 2)
-    slot = jnp.argmax(nrow == ps2[:, None], axis=-1).astype(jnp.int32)
-    flat = jnp.where(nb_ok, nb * 8 + 3 + slot, 8 * M + 1)
-    trp = (
-        trp.reshape(-1).at[flat].set(own, mode="drop").reshape(M, 8)
-    )
-
-    # 8. relocate sites whose leaf split; retire claimed
-    t_of = jnp.where(site_tri >= 0, site_tri, 0)
-    needs = (site_tri >= 0) & split_flag[t_of]
-    site_tri = _relocate_sites_chunked(
-        pts,
-        site_tri,
-        needs,
-        lambda t, q: _assign_split_child_rec(rec_f, t, q),
-        r_site,
-    )
-    claimed = needs & (claim[t_of] == site_ids)
-    site_tri = jnp.where(claimed, -1, site_tri)
-    n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
-
-    # 9. mark the flip frontier dirty
-    dirty = blk_write(dirty, jnp.ones(2 * R, bool))
-    rep4 = jnp.concatenate([rows_p, jnp.where(nall >= 0, nall, M + 1)])
-    dirty = dirty.at[rep4].set(True, mode="drop")
-    return PackedState(trp, n_tris, site_tri, n_left), dirty, n_new
-
-
-def _flip_sweep_packed(
-    pts, trp, dirty, R: int, cap,
-    site_tri=None, r_site: int = 65536, rf_div: int = 4,
-):
-    """Packed :func:`_flip_sweep_compact` — identical flip schedule."""
-    M = trp.shape[0]
-    arange_m = jnp.arange(M, dtype=jnp.int32)
-    relocate = site_tri is not None
-    if site_tri is None:
-        site_tri = jnp.zeros((1,), jnp.int32)
-
-    def body(carry):
-        trp, dirty, site_tri, it, _progress, n_flips, n_cands = carry
-        n_dirty0 = jnp.sum(dirty.astype(jnp.int32))
-        didx = jnp.cumsum(dirty.astype(jnp.int32)) - 1
-        sel = dirty & (didx < R)
-        rows = jnp.full(R + 1, -1, jnp.int32).at[
-            jnp.where(sel, didx, R)
-        ].set(arange_m, mode="drop")[:R]
-        rvalid = rows >= 0
-        tr, cand_ok = _edge_candidates_p(pts, trp, rows, rvalid)
-        trp, fi, rep, repv, any_flip, n_exec = _match_and_flip_p(
-            pts, trp, rows, rvalid, tr, cand_ok, rf_div=rf_div
-        )
-        n_flips = n_flips + n_exec
-        n_cands = n_cands + jnp.sum(cand_ok, dtype=jnp.int32)
-        trp = _repair_rows_p(trp, fi, rep, repv)
-        dirty = dirty.at[jnp.where(rvalid, rows, M + 1)].set(
-            jnp.any(cand_ok, axis=-1), mode="drop"
-        )
-        dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(
-            True, mode="drop"
-        )
-        if relocate:
-            pcol = fi[:, 5]
-            t_of = jnp.where(site_tri >= 0, site_tri, 0)
-            affected = (site_tri >= 0) & (pcol[t_of] >= 0)
-            site_tri = _relocate_sites_chunked(
-                pts,
-                site_tri,
-                affected,
-                lambda t, q: _assign_flip_side_rec(fi, t, q),
-                r_site,
-            )
-        progress = any_flip | (
-            jnp.sum(dirty.astype(jnp.int32)) < n_dirty0
-        )
-        return trp, dirty, site_tri, it + 1, progress, n_flips, n_cands
-
-    def cond(carry):
-        _trp, dirty, _st, it, progress, _nf, _nc = carry
-        return jnp.any(dirty) & (it < cap) & progress
-
-    trp, dirty, site_tri, it, _, n_flips, n_cands = jax.lax.while_loop(
-        cond,
-        body,
-        (trp, dirty, site_tri, jnp.int32(0), True, jnp.int32(0),
-         jnp.int32(0)),
-    )
-    return (
-        trp, dirty, it,
-        jnp.sum(dirty.astype(jnp.int32)), site_tri, n_flips, n_cands,
-    )

@@ -577,7 +577,7 @@ def locate(
     return cur, w, ~outside & (contained | done)
 
 
-def locate_dense(tri: DeviceTriangulation, q_raw, block: int = 65536):
+def locate_dense(tri: DeviceTriangulation, q_raw, block: int | None = None):
     """MXU brute-force point location: score ALL simplexes per query.
 
     The affine maps make every simplex's weights a linear function of q, so
@@ -594,6 +594,12 @@ def locate_dense(tri: DeviceTriangulation, q_raw, block: int = 65536):
     """
     d = tri.dim
     T = tri.n_tris
+    if block is None:
+        # Size the query block so the [block, T*d] score intermediate
+        # stays ~1 GiB (v5e HBM is 16 GiB and XLA keeps a couple of
+        # copies live through the reduction) — a fixed 64k block OOMs
+        # past ~50k triangles.
+        block = max(512, min(65536, (1 << 28) // max(T * d, 1)))
     A = tri.affine[:, : d * d].reshape(T, d, d)
     anchor = tri.affine[:, d * d : d * d + d]
     w0 = tri.affine[:, d * d + d :]
