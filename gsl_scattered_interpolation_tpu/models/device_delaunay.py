@@ -416,12 +416,27 @@ def _match_and_flip(
         jnp.where(rvalid, rows, M + 1)
     ].set(pick, mode="drop")
     mutual = pick_ok & (pick_g[pick_safe] == rs) & (pick_safe != rs)
-    # Execute each matched edge once, from the lower id.  Terminate on
+    # Partner OUTSIDE the processed window: candidacy is canonical (the
+    # partner would compute the same verdict), and a processed partner
+    # with any candidate always scatters a pick < INT_MAX — so
+    # pick_g == INT_MAX identifies absent partners exactly.  Execute
+    # those flips UNILATERALLY, arbitrated by a scatter-min claim so two
+    # window rows never rewrite the same absent row.  (Before this, such
+    # flips deferred until the partner rotated into the window — which
+    # forced flips to mark all 4 outer neighbors dirty for mutuality,
+    # 6 re-dirty marks per flip; unilateral execution needs only the
+    # rewritten pair marked, collapsing sweep re-dirty volume ~3x.)
+    absent = pick_ok & (pick_g[pick_safe] == INT_MAX) & (pick_safe != rs)
+    claim_g = jnp.full(M, INT_MAX, jnp.int32).at[
+        jnp.where(absent, pick_safe, M + 1)
+    ].min(rs, mode="drop")
+    won = absent & (claim_g[pick_safe] == rs)
+    # Execute each mutual edge once, from the lower id.  Terminate on
     # "no executed flips" (not "no candidates"): an fp-asymmetric
     # candidate with no mutual partner must not spin the loop — the
     # reference likewise leaves un-flippable violations in place
     # (edge_flip.c:244-254).
-    do = mutual & (rs < pick_safe)
+    do = (mutual & (rs < pick_safe)) | won
     # Cap executed flips at R//rf_div (deferring the overflow pairs —
     # they stay candidates and re-match next round), then COMPACT the
     # executed set: everything below — slot search, rewrites, repair
@@ -699,6 +714,7 @@ def build_2d_chunked(
     r_compact: int = 524288,
     r_site: int = 1 << 21,
     sweep_rounds: int = 8,
+    sweep_rf_div: int = 2,
 ):
     """Host-orchestrated chunked build: short device executions in batches
     of up to ``k_batch`` insertion rounds per dispatch.
@@ -829,13 +845,12 @@ def build_2d_chunked(
             jax.jit, donate_argnums=(1, 2, 3, 4)
         )
         def sweep(pts, tri_v, tri_n, cc, dirty, k):
-            # rf_div stays 4: measured 3.65M total executed flips over
-            # the SAME 60 rounds at cap R//4 and R//2 — the sweep is
-            # cascade-depth-limited, never cap-limited, so a deeper cap
-            # only paid ~2x shape cost on the compacted phase
-            # (22.6s vs 12.2s at 1M sites)
+            # Pre-claims the sweep was cascade-depth-limited and rf_div
+            # stayed 4; unilateral claims made it flip-CAP-limited
+            # (measured 131k = R//4 executed every early round), so the
+            # cap is now a tunable (sweep_rf_div).
             return _flip_sweep_compact(
-                pts, tri_v, tri_n, cc, dirty, R, k
+                pts, tri_v, tri_n, cc, dirty, R, k, rf_div=sweep_rf_div
             )
 
         return sweep
@@ -924,7 +939,7 @@ def build_2d_chunked(
         R = r_small if tail else min(r_compact, full_m)
         cap_rounds = 16 * sweep_rounds if tail else k_sweep
         sw = _aot_compile(
-            ("sweep", full_m, R, N, str(dtype)),
+            ("sweep", full_m, R, N, str(dtype), sweep_rf_div),
             lambda: make_sweep(R),
             (pts, tri_v, tri_n, cc, dirty, jnp.int32(cap_rounds)),
         )
@@ -1163,18 +1178,47 @@ def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
     """
     N = site_tri.shape[0]
     if 3 * r_site >= 2 * N:
-        # The chunk would cover (nearly) every site: decide directly on
-        # the full masked array — pts rows 3.. ARE the sites in order, so
-        # this skips the compaction cumsum/scatter AND the query gather.
-        # The cond keeps affected-free rounds (flip rounds late in a
-        # dispatch) from paying the full-[N] decide.
-        def _do(site_tri):
+        # The chunk would cover (nearly) every site.  Two regimes, picked
+        # per round by a cond on the affected count:
+        # * DENSE — decide on the full masked array (pts rows 3.. ARE the
+        #   sites in order: no compaction cumsum/scatter, no query
+        #   gather).  Right when most sites relocate (early insert
+        #   rounds: every triangle splits).
+        # * COMPACT — prefix-compact the affected ids and decide on ONE
+        #   [N//4]-sized chunk.  Late insert rounds relocate a few
+        #   thousand sites; the dense pass still paid the full [N, 11]
+        #   record gather + predicates (~40% of a split round) for them.
+        C = max(1024, N // 4)
+
+        def _dense(site_tri):
             t_of = jnp.where(affected, site_tri, 0)
             new_t = decide(t_of, pts[3 : 3 + N])
             return jnp.where(affected, new_t, site_tri)
 
+        def _compact(site_tri):
+            site_ids = jnp.arange(N, dtype=jnp.int32)
+            srank = jnp.cumsum(affected.astype(jnp.int32)) - 1
+            sel = affected & (srank < C)
+            sb = jnp.zeros(C, jnp.int32).at[
+                jnp.where(sel, srank, C)
+            ].set(site_ids, mode="drop")
+            valid = jnp.arange(C, dtype=jnp.int32) <= jnp.max(
+                jnp.where(sel, srank, -1)
+            )
+            t_of = jnp.where(valid, site_tri[sb], 0)
+            q = geometry.take_rows(pts, sb + 3)
+            new_t = decide(t_of, q)
+            return site_tri.at[jnp.where(valid, sb, N + 1)].set(
+                new_t, mode="drop"
+            )
+
+        cnt = jnp.sum(affected.astype(jnp.int32))
+
+        def _route(site_tri):
+            return jax.lax.cond(cnt <= C, _compact, _dense, site_tri)
+
         return jax.lax.cond(
-            jnp.any(affected), _do, lambda s: s, site_tri
+            cnt > 0, _route, lambda s: s, site_tri
         )
     site_ids = jnp.arange(N, dtype=jnp.int32)
     cnt = jnp.sum(affected.astype(jnp.int32))
@@ -1406,10 +1450,11 @@ def _split_round_compact(pts, st: BuildState, dirty, R: int, r_site: int):
     n_left = (n_left - jnp.sum(claimed.astype(jnp.int32))).astype(jnp.int32)
 
     # 9. Mark the flip frontier dirty: parents (their slots now hold
-    # children), the fresh block, and the outer neighbors.
+    # children) and the fresh block.  Outer neighbors stay clean — every
+    # new edge has a child side, and the canonical verdict + unilateral
+    # claim (see _match_and_flip) execute its flip from that side.
     dirty = blk_write(dirty, jnp.ones(2 * R, bool))
-    rep4 = jnp.concatenate([rows_p, jnp.where(nall >= 0, nall, M + 1)])
-    dirty = dirty.at[rep4].set(True, mode="drop")
+    dirty = dirty.at[rows_p].set(True, mode="drop")
     st = BuildState(tri_v, tri_n, cc, n_tris, site_tri, n_left)
     return st, dirty, n_new
 
@@ -1423,11 +1468,14 @@ def _flip_sweep_compact(
     The dense flip round touches all M slots every sub-round; the set of
     possibly-violating edges collapses geometrically, so each round here
     gathers (up to) R dirty rows, evaluates the candidate predicates on
-    [R, 3] only, flips, and re-marks just the flip neighborhoods dirty.
-    Invariant: both triangles of any newly-violating edge are dirty (a
-    flip marks its pair + 4 outer neighbors), so matching inside the
-    dirty set loses no flips.  When #dirty > R the overflow rows simply
-    stay dirty for a later round.
+    [R, 3] only, flips, and re-marks just the rewritten pairs dirty.
+    Invariant: at least ONE side of any possibly-violating edge is dirty
+    (a flip re-marks its two rewritten rows, and every new violation a
+    flip can create involves a rewritten row).  The dirty side alone
+    suffices: verdicts are canonical per quad, and a candidate whose
+    partner is outside the window executes unilaterally via the
+    scatter-min claim in :func:`_match_and_flip`.  When #dirty > R the
+    overflow rows simply stay dirty for a later round.
 
     With ``site_tri`` given (insert phase), sites straddling a flipped
     pair re-locate after every round, chunked over the affected set; pass
@@ -1468,14 +1516,18 @@ def _flip_sweep_compact(
         n_cands = n_cands + jnp.sum(cand_ok, dtype=jnp.int32)
         tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
         # Processed rows stay dirty iff they still carry a candidate edge
-        # (lost the matching / partner beyond the batch); flip
-        # neighborhoods are re-marked.  Overflow rows keep their flag.
+        # (lost the matching / claim arbitration); rewritten PAIR rows are
+        # re-marked.  Outer neighbors are NOT marked: any newly-violating
+        # outer edge has one side on a rewritten row, and the canonical
+        # verdict + unilateral claim execute it from that side alone.
+        # Overflow rows keep their flag.
         dirty = dirty.at[jnp.where(rvalid, rows, M + 1)].set(
             jnp.any(cand_ok, axis=-1), mode="drop"
         )
-        dirty = dirty.at[jnp.where(repv, rep, M + 1)].set(
-            True, mode="drop"
-        )
+        n_pair = rep.shape[0] // 3  # rep = [ts | us | 4 outer blocks]
+        dirty = dirty.at[
+            jnp.where(repv[:n_pair], rep[:n_pair], M + 1)
+        ].set(True, mode="drop")
         if relocate:
             frec = out[8]
             # Affected detection from the record's (contiguous) partner
