@@ -39,6 +39,7 @@ range).  Use ``DeviceTriangulation.cast`` to pick the trade-off.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -679,15 +680,15 @@ class CellIndex(NamedTuple):
     triangles) and out-of-square queries fall back to the walk.
     """
 
-    table: jax.Array     # 2D: [G^2, K*7] f32 packed; 3D: [G^3, K] int32 ids
+    table: jax.Array     # 2D: [G^2, 7K] f32 packed; 3D packed: [G^3, 13K]
+                         # f32; 3D two-stage: [G^3, K] int32 ids
     overflow: jax.Array  # [G^d] bool: candidate list truncated
     hint: jax.Array      # [G^d] int32 walk-start simplex
     res: int             # static grid resolution G
     k: int               # static candidates per cell
-    # 3D two-stage layout: per-tet q-centered score rows [T, 12] f32
-    # (g 3x3 row-major + bias 3).  The packed-per-cell 2D layout would
-    # cost G^3*13K floats — not HBM-scalable; splitting id table from
-    # row table keeps memory O(G^3 K ints + T rows).
+    # 3D two-stage layout only (packed table over HBM budget): per-tet
+    # q-centered score rows [T, 12] f32 (g 3x3 row-major + bias 3),
+    # gathered per candidate in small blocks at query time.
     rows: jax.Array | None = None
 
 
@@ -707,6 +708,63 @@ def _qcentered_tables(tri: DeviceTriangulation):
     w0 = tri.affine[:, d * d + d :]
     bias = w0 + jnp.einsum("tij,tj->ti", A, tri.shift - anchor)
     return A, bias
+
+
+def _qcentered_host(tri: DeviceTriangulation):
+    """Host-side f64 q-centered score tables.
+
+    Returns ``(g [T,d,d], bias [T,d])`` with
+    ``coords(q_raw) = g @ (q_raw - shift) + bias`` — the same form as
+    :func:`_qcentered_tables`, but computed from the (already host-fetched)
+    standardized vertex coordinates in numpy f64.  This avoids a
+    [T, d(d+1)] device->host readback through the axon tunnel (at
+    ~0.2 MB/s, 3 MB of rows at 67k tets costs ~16 s) and carries f64
+    accuracy into the packed score tables.  Degenerate simplexes get
+    ``bias = +1e30`` so their min weight is hugely negative and they can
+    never win the argmax (matches the empty-slot convention of the packed
+    cell table).
+    """
+    pts = np.asarray(tri.points_std, np.float64)
+    tv = np.asarray(tri.tri_verts)
+    scale = np.asarray(tri.scale, np.float64)
+    d = pts.shape[1]
+    verts = pts[tv]                       # [T, d+1, d] standardized
+    origin = verts[:, d, :]               # coords are weights of verts[:d]
+    M = np.swapaxes(verts[:, :d, :] - origin[:, None, :], -1, -2)
+    if d == 2:
+        a, b = M[:, 0, 0], M[:, 0, 1]
+        c, dd_ = M[:, 1, 0], M[:, 1, 1]
+        det = a * dd_ - b * c
+        adj = np.stack(
+            [np.stack([dd_, -b], -1), np.stack([-c, a], -1)], -2
+        )
+    elif d == 3:
+        a, b, c = M[:, 0, 0], M[:, 0, 1], M[:, 0, 2]
+        e, f, g_ = M[:, 1, 0], M[:, 1, 1], M[:, 1, 2]
+        h, i, j = M[:, 2, 0], M[:, 2, 1], M[:, 2, 2]
+        A0 = f * j - g_ * i
+        B0 = -(e * j - g_ * h)
+        C0 = e * i - f * h
+        det = a * A0 + b * B0 + c * C0
+        adj = np.stack(
+            [
+                np.stack([A0, -(b * j - c * i), b * g_ - c * f], -1),
+                np.stack([B0, a * j - c * h, -(a * g_ - c * e)], -1),
+                np.stack([C0, -(a * i - b * h), a * f - b * e], -1),
+            ],
+            -2,
+        )
+    else:
+        raise NotImplementedError("q-centered host tables are d<=3")
+    bad = det == 0
+    g_std = adj / np.where(bad, 1.0, det)[:, None, None]
+    # q_std - origin = scale*(q - shift) - origin  =>
+    # coords = (g_std * scale) @ (q - shift) - g_std @ origin
+    g = g_std * scale[None, None, :]
+    bias = -np.einsum("tij,tj->ti", g_std, origin)
+    g[bad] = 0.0
+    bias[bad] = 1e30
+    return g, bias
 
 
 def build_cell_index(
@@ -880,9 +938,9 @@ def build_cell_index(
     # row (all K g00s, then all K g01s, ...): the query path then slices
     # contiguous [B, K] blocks with no strided relayout.  Empty slots
     # score -inf through the 1e30 bias.
-    gmat, bias = _qcentered_tables(tri)
-    gmat = np.asarray(gmat, np.float32).reshape(T, 4)
-    bias = np.asarray(bias, np.float32)
+    gmat, bias = _qcentered_host(tri)
+    gmat = gmat.astype(np.float32).reshape(T, 4)
+    bias = bias.astype(np.float32)
     packed = np.zeros((G * G, 7, K), np.float32)
     packed[:, 4:6, :] = 1e30
     packed[:, 6, :] = -1.0
@@ -1044,15 +1102,43 @@ def _build_cell_index_3d(
         gz = np.minimum(cz * gr // G, gr - 1)
         hint[empty] = fallback[((gx * gr + gy) * gr + gz)[empty]]
 
+    gmat, bias = _qcentered_host(tri)
+    gmat = gmat.astype(np.float32).reshape(T, 9)
+    bias = bias.astype(np.float32)
+    # Layout choice.  The packed table replicates each candidate's 12
+    # score floats + id into its cell row, FIELD-major ([G^3, 13K]): one
+    # contiguous row gather per query, same as the 2D fast path.  It costs
+    # G^3*13K floats of HBM, so past a budget (default 1.5 GB, env
+    # GSI_CELLS3D_PACKED_BYTES) fall back to the two-stage layout — id
+    # table [G^3, K] + per-tet rows [T, 12] — whose query path chunks the
+    # candidate-row gather to bound the T(8,128) lane padding of the
+    # 12-float minor dim (un-chunked at B=2M, K=24 that padding is a
+    # single 24.6 GB allocation: the BENCH_r03 queries_3d OOM).
+    packed_bytes = G * G * G * 13 * K * 4
+    budget = int(
+        os.environ.get("GSI_CELLS3D_PACKED_BYTES", 1_500_000_000)
+    )
+    if packed_bytes <= budget:
+        packed = np.zeros((G * G * G, 13, K), np.float32)
+        packed[:, 9:12, :] = 1e30           # empty slots score -inf
+        packed[:, 12, :] = -1.0
+        for f in range(9):
+            packed[rows_k, f, cols_k] = gmat[tri_k, f]
+        for f in range(3):
+            packed[rows_k, 9 + f, cols_k] = bias[tri_k, f]
+        packed[rows_k, 12, cols_k] = tri_k.astype(np.float32)
+        return CellIndex(
+            table=jnp.asarray(packed.reshape(G * G * G, 13 * K)),
+            overflow=jnp.asarray(overflow),
+            hint=jnp.asarray(hint),
+            res=G,
+            k=K,
+        )
     ids = np.full((G * G * G, K), -1, np.int32)
     ids[rows_k, cols_k] = tri_k.astype(np.int32)
-    # score rows are computed AND kept on device: pulling [T, 12] floats
-    # through the axon device->host tunnel (~0.2 MB/s) costs ~12 s at
-    # 67k tets for a pure round trip
-    gmat, bias = _qcentered_tables(tri)
-    rows12 = jnp.concatenate(
-        [gmat.reshape(T, 9), bias], axis=1
-    ).astype(jnp.float32)                               # [T, 12]
+    rows12 = jnp.asarray(
+        np.concatenate([gmat, bias], axis=1)
+    )                                                   # [T, 12] f32
     return CellIndex(
         table=jnp.asarray(ids),
         overflow=jnp.asarray(overflow),
@@ -1064,43 +1150,84 @@ def _build_cell_index_3d(
 
 
 def _locate_cells_score_3d(tri, cells, q_raw):
-    """[B] 3D candidate scoring: one [B, K] id gather + one [B*K, 12]
-    row gather."""
+    """[B] 3D candidate scoring, internally chunked for HBM safety.
+
+    Packed layout (``rows is None``): one contiguous [B0, 13K] row gather
+    per query block, sliced field-major exactly like the 2D path.
+    Two-stage layout: a [B0, K] id gather plus a [B0*K, 12] candidate-row
+    gather per block.  Both are chunked with ``lax.map`` — the TPU
+    T(8,128) tiling pads a 12-float minor dim to 128 lanes, so an
+    un-chunked two-stage gather at B=2M, K=24 materializes f32[48M, 128]
+    = 24.6 GB (the BENCH_r03 queries_3d OOM); block sizes below keep every
+    padded intermediate under ~200 MB.
+    """
     G = cells.res
     K = cells.k
     dtype = q_raw.dtype
+    B = q_raw.shape[0]
     q_std = geometry.standardize(q_raw, tri.shift, tri.scale)
     cell = jnp.clip(
         jnp.floor((q_std + 0.5) * G).astype(jnp.int32), 0, G - 1
     )
     cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
-    tid = cells.table[cid]                              # [B, K] int32
-    ok = tid >= 0
-    rows = geometry.take_rows(
-        cells.rows, jnp.where(ok, tid, 0).reshape(-1)
-    ).reshape(tid.shape[0], K, 12).astype(dtype)        # [B, K, 12]
-    dq = (q_raw - tri.shift.astype(dtype))[:, None, :]  # [B, 1, 3]
-    c0 = (
-        rows[..., 0] * dq[..., 0] + rows[..., 1] * dq[..., 1]
-        + rows[..., 2] * dq[..., 2] + rows[..., 9]
-    )
-    c1 = (
-        rows[..., 3] * dq[..., 0] + rows[..., 4] * dq[..., 1]
-        + rows[..., 5] * dq[..., 2] + rows[..., 10]
-    )
-    c2 = (
-        rows[..., 6] * dq[..., 0] + rows[..., 7] * dq[..., 1]
-        + rows[..., 8] * dq[..., 2] + rows[..., 11]
-    )
-    minw = jnp.minimum(
-        jnp.minimum(jnp.minimum(c0, c1), c2), 1.0 - c0 - c1 - c2
-    )
-    minw = jnp.where(ok, minw, -jnp.inf)
-    best = jnp.argmax(minw, axis=-1)
-    bestw = jnp.take_along_axis(minw, best[:, None], -1)[:, 0]
-    leaf = jnp.maximum(
-        jnp.take_along_axis(tid, best[:, None], -1)[:, 0], 0
-    )
+    dq_all = q_raw - tri.shift.astype(dtype)            # [B, 3]
+    packed = cells.rows is None
+
+    def score_block(args):
+        cid_b, dq = args
+        if packed:
+            rows = cells.table[cid_b].astype(dtype)     # [B0, 13K] gather
+            fld = [rows[:, f * K : (f + 1) * K] for f in range(13)]
+            tid_f = fld[12]
+            ok = tid_f >= 0
+        else:
+            tid = cells.table[cid_b]                    # [B0, K] int32
+            ok = tid >= 0
+            r = geometry.take_rows(
+                cells.rows, jnp.where(ok, tid, 0).reshape(-1)
+            ).astype(dtype)                             # [B0*K, 12]
+            fld = [
+                r[:, f].reshape(tid.shape) for f in range(12)
+            ]
+        dqx = dq[:, 0:1]
+        dqy = dq[:, 1:2]
+        dqz = dq[:, 2:3]
+        c0 = fld[0] * dqx + fld[1] * dqy + fld[2] * dqz + fld[9]
+        c1 = fld[3] * dqx + fld[4] * dqy + fld[5] * dqz + fld[10]
+        c2 = fld[6] * dqx + fld[7] * dqy + fld[8] * dqz + fld[11]
+        minw = jnp.minimum(
+            jnp.minimum(jnp.minimum(c0, c1), c2), 1.0 - c0 - c1 - c2
+        )
+        minw = jnp.where(ok, minw, -jnp.inf)
+        best = jnp.argmax(minw, axis=-1)
+        bestw = jnp.take_along_axis(minw, best[:, None], -1)[:, 0]
+        if packed:
+            leaf = jnp.maximum(
+                jnp.take_along_axis(tid_f, best[:, None], -1)[:, 0], 0.0
+            ).astype(jnp.int32)
+        else:
+            leaf = jnp.maximum(
+                jnp.take_along_axis(tid, best[:, None], -1)[:, 0], 0
+            )
+        return leaf, bestw
+
+    # Packed rows are 13K floats (~150 MB/block at 2^18, K=24); two-stage
+    # blocks carry the 12->128 lane padding (~100 MB/block at 2^13, K=24).
+    block = 262144 if packed else 8192
+    if B <= block:
+        leaf, bestw = score_block((cid, dq_all))
+    else:
+        pad = (-B) % block
+        cid_p = jnp.concatenate([cid, jnp.zeros(pad, cid.dtype)])
+        dq_p = jnp.concatenate(
+            [dq_all, jnp.zeros((pad, 3), dq_all.dtype)]
+        )
+        leaf, bestw = jax.lax.map(
+            score_block,
+            (cid_p.reshape(-1, block), dq_p.reshape(-1, block, 3)),
+        )
+        leaf = leaf.reshape(-1)[:B]
+        bestw = bestw.reshape(-1)[:B]
     return cid, leaf, bestw, q_std
 
 

@@ -308,6 +308,48 @@ def _pcg_pad(grid, phi, eps, smooth, y_pad, tol, maxiter):
     return x, rr, it
 
 
+def _host_matvec_f64(xs_std, eps, smooth, lam):
+    """Host f64 ``(A + smooth I) @ lam`` for the Wendland-C2 system.
+
+    The residual engine of iterative refinement: kernel entries AND the
+    accumulation both run in numpy f64, so the residual is accurate to
+    ~n*eps_f64 — refining against an f32-entry matvec would stall at the
+    f32 entry noise (kappa * eps_f32).  Dense pairwise for moderate N;
+    cell-list 9-stencil (chunked over cell rows) beyond.
+    """
+    xs_std = np.asarray(xs_std, np.float64)
+    lam = np.asarray(lam, np.float64)
+    n = xs_std.shape[0]
+
+    def phi64(r):
+        t = eps * r
+        return np.maximum(1.0 - t, 0.0) ** 4 * (4.0 * t + 1.0)
+
+    if n <= 32768:
+        diff = xs_std[:, None, :] - xs_std[None, :, :]
+        K = phi64(np.sqrt((diff**2).sum(-1)))
+        return K @ lam + smooth * lam
+    grid = build_cell_grid(xs_std, 1.0 / eps, as_numpy=True)
+    ok = grid.slot_site >= 0
+    lam_pad = np.zeros(grid.slot_site.shape)
+    lam_pad[ok] = lam[grid.slot_site[ok]]
+    xs = grid.xs_pad  # f64 with poison pads (1e16 squared: f64-safe)
+    Gy, Gx, cap, _ = xs.shape
+    out = smooth * lam_pad
+    rows_per = max(1, 50_000_000 // max(Gx * cap * cap, 1))
+    for di, dj in _stencil_offsets():
+        nx = np.roll(xs, (-di, -dj), axis=(0, 1))
+        nv = np.roll(lam_pad, (-di, -dj), axis=(0, 1))
+        for y0 in range(0, Gy, rows_per):
+            sl = slice(y0, min(y0 + rows_per, Gy))
+            diff = xs[sl][:, :, :, None, :] - nx[sl][:, :, None, :, :]
+            K = phi64(np.sqrt((diff**2).sum(-1)))
+            out[sl] += np.einsum("yxij,yxj->yxi", K, nv[sl])
+    res = np.zeros(n)
+    res[grid.slot_site[ok]] = out[ok]
+    return res
+
+
 class CompactRbf:
     """Wendland-C2 interpolant built on the cell list (strictly PD, d<=3).
 
@@ -394,6 +436,64 @@ class CompactRbf:
         self.cg_iters = int(it)
         self.cg_residual = float(jnp.sqrt(rs))
         self.values = jnp.asarray(values, dtype)
+        # kept for iterative refinement (host f64 residuals)
+        self._fit = fit
+        self._xs_std = xs_std
+        self._values64 = values
+        self.lam64 = None
+        self.refine_history: list[float] = []
+
+    def refine(self, iters: int = 2) -> "CompactRbf":
+        """Mixed-precision iterative refinement of the fit weights.
+
+        The f32 PCG solution alone carries a kappa-limited relative weight
+        error (~1e-3 at BENCH_r03's N=4096 config).  Classic refinement
+        recovers near-f64 weights from the f32 solver: the residual
+        ``r = y - A lam`` is computed on the HOST in f64 (the TPU has no
+        f64 linalg; kernel entries must exceed f32 accuracy or refinement
+        stalls at kappa*eps_f32), each correction re-uses the
+        already-compiled f32 PCG program with ``r`` as the right-hand
+        side, and the accumulator lives in host f64.  The error contracts
+        by ~(solver relative error) per pass, so 2-3 passes reach the
+        f64-residual floor.  BASELINE.md row 3 anchor: the f64 Cholesky
+        the reference's planned RBF path would have used
+        (linalg/gsl_linalg.h:471-474).
+
+        Records max|r|_inf BEFORE each pass and after the last in
+        ``self.refine_history``; leaves f64 weights in ``self.lam64`` and
+        refreshes ``lam_pad`` (so ``eval``/``lam`` use refined weights).
+        """
+        dtype = self.grid.xs_pad.dtype
+        eps_a = jnp.asarray(self.epsilon, dtype)
+        sm_a = jnp.asarray(self.smooth, dtype)
+        lam64 = np.asarray(self.lam, np.float64)
+        hist = []
+        for _ in range(iters):
+            r = self._values64 - _host_matvec_f64(
+                self._xs_std, self.epsilon, self.smooth, lam64
+            )
+            hist.append(float(np.max(np.abs(r))))
+            r_pad = pack_values(self.grid, jnp.asarray(r, dtype))
+            d_pad, _, _ = self._fit(self.grid, eps_a, sm_a, r_pad)
+            lam64 = lam64 + np.asarray(
+                unpack_values(self.grid, d_pad), np.float64
+            )
+        hist.append(
+            float(
+                np.max(
+                    np.abs(
+                        self._values64
+                        - _host_matvec_f64(
+                            self._xs_std, self.epsilon, self.smooth, lam64
+                        )
+                    )
+                )
+            )
+        )
+        self.refine_history = hist
+        self.lam64 = lam64
+        self.lam_pad = pack_values(self.grid, jnp.asarray(lam64, dtype))
+        return self
 
     @property
     def lam(self) -> jax.Array:

@@ -353,3 +353,49 @@ class TestCellIndex3d:
         )
         expect = np.array([tree.interp(vals, q) for q in Q])
         np.testing.assert_allclose(ours, expect, atol=1e-6)
+
+    def test_cells3d_two_stage_layout_matches_packed(self, monkeypatch):
+        """The over-HBM-budget two-stage layout must locate identically."""
+        tri, sites, tree = self._tri3()
+        monkeypatch.setenv("GSI_CELLS3D_PACKED_BYTES", "0")
+        cells2 = dt.build_cell_index(tri)
+        assert cells2.rows is not None  # two-stage selected
+        monkeypatch.delenv("GSI_CELLS3D_PACKED_BYTES")
+        cells1 = dt.build_cell_index(tri)
+        assert cells1.rows is None  # packed selected
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(4000, 3)))
+        _, wd, _ = dt.locate_dense(tri, q)
+        for cells in (cells1, cells2):
+            _, w, _ = dt.locate_cells(tri, cells, q)
+            np.testing.assert_allclose(
+                np.asarray(w.min(-1)), np.asarray(wd.min(-1)), atol=1e-9
+            )
+
+    def test_cells3d_chunked_1m_queries(self, monkeypatch):
+        """>= 1M queries drives the lax.map block chunking of BOTH 3D
+        layouts — the BENCH_r03 queries_3d failure was a scale-dependent
+        gather layout (f32[B*K, 12] lane-padded to 24.6 GB at B=2M), so
+        the at-scale shape path must be exercised even on CPU."""
+        tri, sites, tree = self._tri3(n=200, seed=11)
+        vals = np.sin(2 * sites[:, 0]) + sites[:, 1]
+        resp = dt.reindex_response(tree, vals)
+        rng = np.random.default_rng(12)
+        B = 1_100_000
+        Q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(B, 3)))
+        sub = 50_000
+        ref = np.asarray(dt.interp(tri, resp, Q[:sub], method="dense"))
+        for env in (None, "0"):
+            if env is None:
+                monkeypatch.delenv(
+                    "GSI_CELLS3D_PACKED_BYTES", raising=False
+                )
+            else:
+                monkeypatch.setenv("GSI_CELLS3D_PACKED_BYTES", env)
+            cells = dt.build_cell_index(tri)
+            out = np.asarray(
+                dt.interp(tri, resp, Q, method="cells", cells=cells)
+            )
+            assert out.shape == (B,)
+            assert np.isfinite(out).all()
+            np.testing.assert_allclose(out[:sub], ref, atol=1e-9)

@@ -76,6 +76,25 @@ class TestWendlandWeights:
         # double-precision contract, which the f64 paths meet above)
         assert rel <= 1e-2, rel
 
+    def test_f32_refined_reaches_1e6(self):
+        """Iterative refinement closes the f32 weight gap (VERDICT r3 #4):
+        f32 solver + host-f64 residuals must beat 1e-6 relative, and the
+        refinement curve must be monotone."""
+        sites, values = _sites()
+        eps = 1.0 / float(np.sqrt(40.0 / (np.pi * len(sites))))
+        m = rbf_compact.CompactRbf(
+            sites, values, epsilon=eps, tol=1e-7, maxiter=4000,
+            standardize=False, dtype=jnp.float32,
+        ).refine(iters=3)
+        lam64 = _dense_oracle_lam(sites, values, "wendland_c2", eps)
+        rel = np.max(np.abs(m.lam64 - lam64)) / np.max(np.abs(lam64))
+        assert rel <= 1e-6, (rel, m.refine_history)
+        h = m.refine_history
+        assert len(h) == 4
+        assert h[-1] < h[0], h
+        # eval path picked up the refined weights
+        assert np.asarray(m.lam).dtype == np.float32
+
 
 class TestShardedCgWeights:
     def test_f64_sharded_cg_reaches_1e8(self, mesh8):
