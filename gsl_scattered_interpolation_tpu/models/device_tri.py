@@ -301,8 +301,7 @@ def _grid_device(pts_std, tv, grid_res: int, n_alive: int):
     return jax.lax.while_loop(lambda g: jnp.any(g < 0), dil_body, g)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _freeze_device(
+def _freeze_device_impl(
     points_raw, shift, scale, tri_v, tri_n, alive, n_alive: int, grid_res: int
 ):
     """Device-side freeze: compaction, neighbor remap, bucket grid (any d).
@@ -332,6 +331,10 @@ def _freeze_device(
     aff = affine_maps(points_raw, tv, scale, shift=shift)
     return pts_std, tv, tn, aff, g
 
+
+_freeze_device = functools.partial(jax.jit, static_argnums=(6, 7))(
+    _freeze_device_impl
+)
 
 # Back-compat alias (2D name used by older call sites / cache labels).
 _freeze_device_2d = _freeze_device
@@ -374,8 +377,23 @@ def from_arrays(
         sh = jnp.asarray(np.asarray(shift, np.float64), dtype)
         sc = jnp.asarray(np.asarray(scale, np.float64), dtype)
         n_alive = int(jnp.sum(alive.astype(jnp.int32)))
-        pts_std, tv, tn, aff, g = _freeze_device(
-            raw_dev, sh, sc, tri_v, tri_n, alive, n_alive, grid_res
+        # Explicit AOT path (utils/aot.py): n_alive is static (it sets
+        # the compacted output shape), so every new build size is a new
+        # program — load it via trace/lower/compile (~5 s) instead of a
+        # fresh jit __call__ (~20 s).
+        from ..utils.aot import aot_compile as _aot
+
+        fz = _aot(
+            ("freeze_device", n_alive, grid_res, tri_v.shape, str(dtype)),
+            lambda n_alive=n_alive, grid_res=grid_res: jax.jit(
+                lambda p, s1, s2, tv, tn, al: _freeze_device_impl(
+                    p, s1, s2, tv, tn, al, n_alive, grid_res
+                )
+            ),
+            (raw_dev, sh, sc, tri_v, tri_n, alive),
+        )
+        pts_std, tv, tn, aff, g = fz(
+            raw_dev, sh, sc, tri_v, tri_n, alive
         )
         return DeviceTriangulation(
             points_raw=raw_dev,

@@ -175,6 +175,75 @@ def insphere_ds(a, b, c, d, e):
     return acc[0]
 
 
+def _detn_ds(rows, sc):
+    """Double-single determinant of an n x n matrix of pairs.
+
+    ``rows`` is a list of n rows, each a list of n (hi, lo) pairs.
+    Cofactor expansion along the first row (the _det3_ds recursion,
+    extended mechanically per VERDICT r3 item 7); exponential in n but n
+    is the spatial dimension + 1 — tiny, and evaluated branch-free over
+    whole [S, C]-shaped batches.
+    """
+    n = len(rows)
+    if n == 1:
+        return rows[0][0]
+    if n == 2:
+        return _p_sub(
+            _p_mul(rows[0][0], rows[1][1], sc),
+            _p_mul(rows[0][1], rows[1][0], sc),
+        )
+    if n == 3:
+        return _det3_ds(*rows[0], *rows[1], *rows[2], sc)
+    acc = None
+    for j in range(n):
+        sub = [[row[k] for k in range(n) if k != j] for row in rows[1:]]
+        t = _p_mul(rows[0][j], _detn_ds(sub, sc), sc)
+        if j % 2 == 1:
+            t = (-t[0], -t[1])
+        acc = t if acc is None else _p_add(acc, t)
+    return acc
+
+
+def orientnd_ds(verts):
+    """Compensated orientation determinant in any dimension.
+
+    ``verts [..., d+1, d]`` -> sign-reliable ``det(verts[1:] - verts[0])``
+    (the generic-d convention of device_cavity._insphere_det; the
+    reference does the same geometry in f64 at any d,
+    linear_simplex.c:556-605).
+    """
+    sc = _split_const(verts.dtype)
+    d = verts.shape[-1]
+    base = verts[..., 0, :]
+    rows = [
+        [_p_diff(verts[..., i, j], base[..., j]) for j in range(d)]
+        for i in range(1, d + 1)
+    ]
+    return _detn_ds(rows, sc)[0]
+
+
+def inspherend_ds(verts, q):
+    """Compensated in-circumsphere determinant in any dimension.
+
+    ``verts [..., d+1, d]``, ``q [..., d]`` ->
+    ``(-1)^d det[(verts - q | |verts - q|^2)]`` — exactly the generic
+    branch of device_cavity._insphere_det, with every product and sum in
+    double-single.  Multiply by ``sign(orientnd_ds(verts))``: positive
+    iff q lies strictly inside the circumsphere.
+    """
+    sc = _split_const(verts.dtype)
+    d = verts.shape[-1]
+    rows = []
+    for i in range(d + 1):
+        rel = [_p_diff(verts[..., i, j], q[..., j]) for j in range(d)]
+        lift = _p_mul(rel[0], rel[0], sc)
+        for j in range(1, d):
+            lift = _p_add(lift, _p_mul(rel[j], rel[j], sc))
+        rows.append(rel + [lift])
+    h = _detn_ds(rows, sc)[0]
+    return h if d % 2 == 0 else -h
+
+
 def incircle_ds(a, b, c, d):
     """Compensated 2D incircle determinant (see geometry/_incircle_det).
 

@@ -206,6 +206,47 @@ class TestCavity4D:
         }
         assert _canon(tri, shuffle, 4) == host
 
+    def test_f32_matches_f64_build(self, monkeypatch):
+        # VERDICT r3 item 7 acceptance: with the generic-d double-single
+        # predicates (ops/robust.py orientnd_ds/inspherend_ds) a float32
+        # 4D device build makes f64-grade sign decisions.  Protocol: the
+        # input must be bit-identical across dtypes, so (a) sites are
+        # rounded to f32-representable values and (b) the cage — whose
+        # vertex positions are dtype-dependent (geometry.cage_vertices
+        # scales by 1/ROOT5_EPS(dtype)) — is pinned to one
+        # f32-representable geometry for both builds.  Near-degenerate
+        # slivers have huge circumspheres that reach the cage, so a
+        # different cage legitimately changes the simplex set; that is
+        # input perturbation, not predicate noise.  The f64 build is
+        # itself host-oracle-verified by test_matches_host_oracle above.
+        import jax.numpy as jnp
+
+        from gsl_scattered_interpolation_tpu.ops import geometry
+
+        orig = geometry.cage_vertices
+
+        def pinned(dim, shift, scale, dtype=np.float64):
+            return orig(dim, shift, scale, np.float32).astype(np.float64)
+
+        monkeypatch.setattr(geometry, "cage_vertices", pinned)
+
+        n = 60
+        sites = _rand(n, 4, seed=44).astype(np.float32).astype(np.float64)
+        t32, s32 = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
+        )
+        integrity.check_arrays(
+            np.asarray(t32.points_std),
+            t32.tri_verts,
+            t32.tri_nbrs,
+            n_data=n,
+        )
+        t64, s64 = dc.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float64,
+            jitter_ulps=0.0,
+        )
+        assert _canon(t32, s32, 4) == _canon(t64, s64, 4)
+
 
 class TestQhullSeed:
     """Qhull-seeded start (the import feature bootstrapping the rounds)."""

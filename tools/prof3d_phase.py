@@ -49,7 +49,6 @@ def timed_from_arrays(*a, **k):
 
 
 dtm.from_arrays = timed_from_arrays
-dc.device_tri.from_arrays = timed_from_arrays
 
 for rep in range(reps):
     t0 = time.perf_counter()
