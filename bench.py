@@ -287,6 +287,14 @@ def bench_cavity3d(extra):
             sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
         )
         t_build = time.perf_counter() - t0
+        # steady-state: second build in-process (programs AOT-loaded) —
+        # the per-build cost a production fit loop actually pays
+        t0 = time.perf_counter()
+        tri, shuf = dc.triangulate(
+            sites + 1e-7, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
+        )
+        jax.block_until_ready(tri.tri_verts)
+        t_steady = time.perf_counter() - t0
         resp = dt.response_for_build(shuf, vals, d=3).astype(jnp.float32)
         state["tri32"] = tri.cast(jnp.float32)
         state["resp"] = resp
@@ -300,11 +308,12 @@ def bench_cavity3d(extra):
         t0 = time.perf_counter()
         ScipyDelaunay(sites)
         t_qhull = time.perf_counter() - t0
-        ref = LinearNDInterpolator(sites, vals)(q)
+        ref = LinearNDInterpolator(sites + 1e-7, vals)(q)
         ok = np.isfinite(ref)
         err = np.abs(out[ok] - ref[ok])
         extra["cavity3d_10k"] = {
             "tpu_s": round(t_build, 1),
+            "tpu_steady_s": round(t_steady, 1),
             "qhull_s": round(t_qhull, 2),
             "p999_err_vs_scipy": float(f"{np.quantile(err, 0.999):.3e}"),
             "max_err_vs_scipy": float(f"{err.max():.3e}"),
@@ -312,8 +321,51 @@ def bench_cavity3d(extra):
             "n_err_gt_1e5": int((err > 1e-5).sum()),
         }
         _log(
-            f"cavity3d_10k: tpu {t_build:.1f}s vs qhull {t_qhull:.2f}s, "
-            f"max err {err.max():.2e}, p999 {np.quantile(err, 0.999):.2e}"
+            f"cavity3d_10k: tpu {t_build:.1f}s (steady {t_steady:.1f}s) "
+            f"vs qhull {t_qhull:.2f}s, max err {err.max():.2e}, "
+            f"p999 {np.quantile(err, 0.999):.2e}"
+        )
+
+    @_guard(extra, "cavity100k")
+    def run_cavity_100k():
+        # at-scale 3D build (VERDICT r3 item 2: "a 100k 3D build in BENCH")
+        N2 = 100_000
+        rng3 = np.random.default_rng(17)
+        sites2 = rng3.uniform(-0.5, 0.5, size=(N2, 3))
+        vals2 = (
+            np.sin(3 * sites2[:, 0]) * np.cos(2 * sites2[:, 1])
+            + sites2[:, 2]
+        )
+        t0 = time.perf_counter()
+        tri2, shuf2 = dc.triangulate(
+            sites2, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
+        )
+        jax.block_until_ready(tri2.tri_verts)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ScipyDelaunay(sites2)
+        t_qhull = time.perf_counter() - t0
+        resp2 = dt.response_for_build(shuf2, vals2, d=3).astype(jnp.float32)
+        q = rng3.uniform(-0.45, 0.45, size=(20_000, 3))
+        out = np.asarray(
+            dt.interp(
+                tri2.cast(jnp.float32), resp2, jnp.asarray(q, jnp.float32),
+                method="walk",
+            )
+        )
+        ref = LinearNDInterpolator(sites2, vals2)(q)
+        ok = np.isfinite(ref)
+        err = np.abs(out[ok] - ref[ok])
+        extra["cavity3d_100k"] = {
+            "tpu_s": round(t_build, 1),
+            "qhull_s": round(t_qhull, 2),
+            "p999_err_vs_scipy": float(f"{np.quantile(err, 0.999):.3e}"),
+            "max_err_vs_scipy": float(f"{err.max():.3e}"),
+            "n_tets": int(tri2.tri_verts.shape[0]),
+        }
+        _log(
+            f"cavity3d_100k: tpu {t_build:.1f}s vs qhull {t_qhull:.2f}s, "
+            f"max err {err.max():.2e}"
         )
 
     @_guard(extra, "q3d")
@@ -364,6 +416,8 @@ def bench_cavity3d(extra):
     run_cavity_build()
     if "tri32" in state and "q3d" not in SKIP:
         run_queries_3d()
+    if "cavity100k" not in SKIP:
+        run_cavity_100k()
 
 
 def bench_tps(extra):
