@@ -526,6 +526,55 @@ def bench_weights(extra):
     )
 
 
+def bench_kriging(extra):
+    """LocalKriging at 100k sites (VERDICT r3 item 8): fit + 1M
+    predictions with kriging variances, plus a variance-calibration
+    check (squared errors vs predicted variances on noisy data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsl_scattered_interpolation_tpu.models import kriging
+
+    N = 100_000
+    rng = np.random.default_rng(23)
+    x = rng.uniform(0.0, 10.0, size=(N, 2))
+    noise_sd = 0.05
+    f_true = np.sin(x[:, 0] * 0.8) + 0.5 * np.cos(x[:, 1] * 1.1)
+    f = f_true + noise_sd * rng.standard_normal(N)
+    t0 = time.perf_counter()
+    m = kriging.LocalKriging(x, f, k_neighbors=24, dtype=jnp.float32)
+    t_fit = time.perf_counter() - t0
+    B = 1_000_000
+    q = rng.uniform(0.5, 9.5, size=(B, 2))
+    mean, var = m.predict(jnp.asarray(q, jnp.float32), chunk=262_144)
+    jax.block_until_ready(var)
+    t0 = time.perf_counter()
+    mean, var = m.predict(
+        jnp.asarray(q + 1e-7, jnp.float32), chunk=262_144
+    )
+    jax.block_until_ready(var)
+    t_pred = time.perf_counter() - t0
+    ref = np.sin(q[:, 0] * 0.8) + 0.5 * np.cos(q[:, 1] * 1.1)
+    err = np.asarray(mean, np.float64) - ref
+    var_np = np.asarray(var, np.float64)
+    # calibration: mean squared prediction error vs mean kriging
+    # variance (the variance includes the fitted nugget ~ noise_sd^2)
+    ratio = float(np.mean(err**2) / max(np.mean(var_np), 1e-30))
+    extra["kriging_100k"] = {
+        "fit_s": round(t_fit, 2),
+        "predict_1m_s": round(t_pred, 2),
+        "qps": round(B / t_pred),
+        "rmse": float(f"{np.sqrt(np.mean(err**2)):.3e}"),
+        "mean_variance": float(f"{np.mean(var_np):.3e}"),
+        "calibration_mse_over_var": round(ratio, 3),
+    }
+    _log(
+        f"kriging_100k: fit {t_fit:.2f}s, 1M predict {t_pred:.2f}s "
+        f"({B/t_pred/1e6:.2f} Mq/s), rmse {np.sqrt(np.mean(err**2)):.2e}, "
+        f"calibration {ratio:.2f}"
+    )
+
+
 def main():
     import jax
 
@@ -539,6 +588,7 @@ def main():
             ("wendland", bench_wendland),
             ("cavity", bench_cavity3d),
             ("weights", bench_weights),
+            ("kriging", bench_kriging),
         ]:
             if all(p in SKIP for p in name.split("/")):
                 continue

@@ -347,6 +347,21 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     apex3, fq3 = p6[:, :3], p6[:, 3:]
     # p1/p2 coordinates are rolls of the already-gathered apex rows —
     # global point gathers are the dominant kernel cost at 1e6 rows.
+    cand_ok = _edge_candidates_math(
+        apex3, fq3, tv, p1_id, far3, p2_id, valid3, cok, degen_u
+    )
+    return tv, tn, cand_ok
+
+
+def _edge_candidates_math(
+    apex3, fq3, tv, p1_id, far3, p2_id, valid3, cok, degen_u
+):
+    """Pure per-candidate flip verdicts on pre-gathered quad data.
+
+    Elementwise over the [R, 3] candidate grid — no gathers, no
+    reductions beyond the fixed-size quad argmax — so the whole pass is
+    one fusable expression (and the seam for a fused Pallas version).
+    """
     p1q = jnp.roll(apex3, -1, axis=1)
     p2q = jnp.roll(apex3, -2, axis=1)
     # convexity: segment (apex, far) must cross the shared edge.
@@ -384,8 +399,7 @@ def _edge_candidates(pts, tri_v, tri_n, cc, rows, rvalid):
     # (linear_simplex.c:517-521): the canonical test with three
     # collinear points is consistent but may elect to keep them.
     degen_t = ~cok[:, None]
-    cand_ok = valid3 & convex3 & (want | degen_t | degen_u)
-    return tv, tn, cand_ok
+    return valid3 & convex3 & (want | degen_t | degen_u)
 
 
 def _match_and_flip(

@@ -37,6 +37,22 @@ from ..utils import config, errors
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _cpu_scope():
+    """Context pinning eager ops to the host CPU backend when present.
+
+    Variogram estimation is a tiny O(max_pairs_sites^2) procedure made of
+    dozens of small eager ops; dispatched op-by-op to a remote TPU each
+    op pays a fresh compile through the tunnel (measured: ~536s for one
+    LocalKriging fit).  On the host CPU the whole thing is milliseconds.
+    """
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:  # no cpu backend registered: use the default
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
 def _vg_spherical(h, rng_):
     t = jnp.clip(h / rng_, 0.0, 1.0)
     return 1.5 * t - 0.5 * t**3
@@ -77,39 +93,47 @@ def empirical_variogram(
     subsample (the estimate stays unbiased; only its variance grows).
     Subsampling is never silent: it is logged and recorded on the result
     via the OrdinaryKriging.variogram_subsampled attribute.
+
+    Runs on the host CPU backend (see ``_cpu_scope``) — estimation is
+    tiny and eager, and must not pay remote per-op compiles.
     """
-    sites_std = jnp.asarray(sites_std)
-    values = jnp.asarray(values)
-    n = sites_std.shape[0]
-    if n > max_pairs_sites:
-        config.log.info(
-            "empirical_variogram: subsampling %d of %d sites for the "
-            "all-pairs pass (raise max_pairs_sites to use more)",
-            max_pairs_sites,
-            n,
+    sites_std = np.asarray(sites_std)
+    values = np.asarray(values)
+    with _cpu_scope():
+        sites_std = jnp.asarray(sites_std)
+        values = jnp.asarray(values)
+        n = sites_std.shape[0]
+        if n > max_pairs_sites:
+            config.log.info(
+                "empirical_variogram: subsampling %d of %d sites for the "
+                "all-pairs pass (raise max_pairs_sites to use more)",
+                max_pairs_sites,
+                n,
+            )
+            idx = jax.random.choice(
+                jax.random.key(key), n, (max_pairs_sites,), replace=False
+            )
+            sites_std = sites_std[idx]
+            values = values[idx]
+            n = max_pairs_sites
+        D = rbf.pairwise_dist(sites_std, sites_std)
+        G = 0.5 * (values[:, None] - values[None, :]) ** 2
+        iu = jnp.triu_indices(n, k=1)
+        d = D[iu]
+        g = G[iu]
+        hmax = jnp.max(d) * 0.6  # conventional cutoff: short lags carry it
+        edges = jnp.linspace(0.0, hmax, n_bins + 1)
+        which = jnp.clip(
+            jnp.searchsorted(edges, d, side="right") - 1, 0, n_bins - 1
         )
-        idx = jax.random.choice(
-            jax.random.key(key), n, (max_pairs_sites,), replace=False
+        valid = d <= hmax
+        counts = jnp.zeros(n_bins).at[which].add(valid * 1.0)
+        sums = jnp.zeros(n_bins).at[which].add(valid * g)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        gamma = jnp.where(
+            counts > 0, sums / jnp.where(counts > 0, counts, 1), 0.0
         )
-        sites_std = sites_std[idx]
-        values = values[idx]
-        n = max_pairs_sites
-    D = rbf.pairwise_dist(sites_std, sites_std)
-    G = 0.5 * (values[:, None] - values[None, :]) ** 2
-    iu = jnp.triu_indices(n, k=1)
-    d = D[iu]
-    g = G[iu]
-    hmax = jnp.max(d) * 0.6  # conventional cutoff: short lags carry signal
-    edges = jnp.linspace(0.0, hmax, n_bins + 1)
-    which = jnp.clip(
-        jnp.searchsorted(edges, d, side="right") - 1, 0, n_bins - 1
-    )
-    valid = d <= hmax
-    counts = jnp.zeros(n_bins).at[which].add(valid * 1.0)
-    sums = jnp.zeros(n_bins).at[which].add(valid * g)
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    gamma = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1), 0.0)
-    return centers, gamma, counts
+        return centers, gamma, counts
 
 
 def fit_variogram(
@@ -120,39 +144,43 @@ def fit_variogram(
         raise errors.InvalidArgumentError(
             f"unknown variogram model {model!r}"
         )
-    centers = jnp.asarray(centers)
-    gamma = jnp.asarray(gamma)
-    w = jnp.asarray(counts)
-    vg = VARIOGRAM_MODELS[model]
-    ranges = jnp.linspace(
-        float(centers[1]), float(centers[-1]) * 1.5, n_ranges
-    )
+    centers = np.asarray(centers)
+    gamma_np = np.asarray(gamma)
+    counts = np.asarray(counts)
+    with _cpu_scope():
+        centers = jnp.asarray(centers)
+        gamma = jnp.asarray(gamma_np)
+        w = jnp.asarray(counts)
+        vg = VARIOGRAM_MODELS[model]
+        ranges = jnp.linspace(
+            float(centers[1]), float(centers[-1]) * 1.5, n_ranges
+        )
 
-    def sse_for(rng_):
-        basis = vg(centers, rng_)  # sill multiplier
-        ones = jnp.ones_like(basis)
-        # min over (nugget a, sill b): sum w (a + b*basis - gamma)^2
-        A00 = jnp.sum(w * ones)
-        A01 = jnp.sum(w * basis)
-        A11 = jnp.sum(w * basis * basis)
-        b0 = jnp.sum(w * gamma)
-        b1 = jnp.sum(w * basis * gamma)
-        det = A00 * A11 - A01 * A01
-        a = (A11 * b0 - A01 * b1) / det
-        b = (A00 * b1 - A01 * b0) / det
-        a = jnp.maximum(a, 0.0)  # nugget >= 0
-        b = jnp.maximum(b, 1e-12)  # positive partial sill
-        sse = jnp.sum(w * (a + b * basis - gamma) ** 2)
-        return sse, a, b
+        def sse_for(rng_):
+            basis = vg(centers, rng_)  # sill multiplier
+            ones = jnp.ones_like(basis)
+            # min over (nugget a, sill b): sum w (a + b*basis - gamma)^2
+            A00 = jnp.sum(w * ones)
+            A01 = jnp.sum(w * basis)
+            A11 = jnp.sum(w * basis * basis)
+            b0 = jnp.sum(w * gamma)
+            b1 = jnp.sum(w * basis * gamma)
+            det = A00 * A11 - A01 * A01
+            a = (A11 * b0 - A01 * b1) / det
+            b = (A00 * b1 - A01 * b0) / det
+            a = jnp.maximum(a, 0.0)  # nugget >= 0
+            b = jnp.maximum(b, 1e-12)  # positive partial sill
+            sse = jnp.sum(w * (a + b * basis - gamma) ** 2)
+            return sse, a, b
 
-    sses, nuggets, sills = jax.vmap(sse_for)(ranges)
-    i = int(jnp.argmin(sses))
-    return Variogram(
-        model=model,
-        nugget=float(nuggets[i]),
-        sill=float(sills[i]),
-        range_=float(ranges[i]),
-    )
+        sses, nuggets, sills = jax.vmap(sse_for)(ranges)
+        i = int(jnp.argmin(sses))
+        return Variogram(
+            model=model,
+            nugget=float(nuggets[i]),
+            sill=float(sills[i]),
+            range_=float(ranges[i]),
+        )
 
 
 class OrdinaryKriging:
@@ -243,9 +271,13 @@ class LocalKriging:
     kriging variances stream at O(queries * k^3) with O(chunk * k^2)
     memory, independent of n.
 
-    2D (the cell grid's current scope).  The variogram is fitted on a
+    Any d (the cell grid buckets in d dimensions; the neighborhood is
+    the 3^d adjacent-cell block).  The variogram is fitted on a
     subsample exactly as OrdinaryKriging does (never silently: see
-    ``variogram_subsampled``).
+    ``variogram_subsampled``).  The fitted variogram floats ride as
+    TRACED operands of the predict program, so one compiled program per
+    (d, k, cap, model) serves every fitted model — refitting never
+    recompiles.
     """
 
     def __init__(
@@ -264,8 +296,6 @@ class LocalKriging:
         sites = np.asarray(sites, np.float64)
         values = np.asarray(values, np.float64)
         n, d = sites.shape
-        if d != 2:
-            raise errors.InvalidArgumentError("LocalKriging is 2D")
         if values.shape != (n,):
             raise errors.InvalidArgumentError("values shape mismatch")
         if dtype is None:
@@ -291,9 +321,9 @@ class LocalKriging:
             )
             variogram = fit_variogram(c, g, w, model=model)
         self.variogram = variogram
-        # Cell size: ~target_per_cell sites/cell, so the 3x3 neighborhood
-        # holds ~9*target >= k candidates with margin.
-        rho = float(np.sqrt(target_per_cell / max(n, 1)))
+        # Cell size: ~target_per_cell sites/cell, so the 3^d neighborhood
+        # holds ~3^d*target >= k candidates with margin.
+        rho = float((target_per_cell / max(n, 1)) ** (1.0 / d))
         self.grid = rbf_compact.build_cell_grid(xs_std, rho)
         self.grid = self.grid._replace(
             xs_pad=self.grid.xs_pad.astype(dtype)
@@ -311,19 +341,24 @@ class LocalKriging:
             * (q - jnp.asarray(self.shift, self.dtype))
         )
         B = qs.shape[0]
-        Gy, Gx, cap, _ = self.grid.xs_pad.shape
+        *G, cap, d = self.grid.xs_pad.shape
+        Gs = tuple(int(g) for g in G)
+        n_cells = int(np.prod(Gs))
+        vg = self.variogram
         args = (
-            self.grid.xs_pad.reshape(Gy * Gx, cap, 2),
-            self.v_pad.reshape(Gy * Gx, cap),
+            self.grid.xs_pad.reshape(n_cells, cap, d),
+            self.v_pad.reshape(n_cells, cap),
             jnp.asarray(self.grid.cell_size, self.dtype),
             jnp.asarray(self.grid.origin, self.dtype),
         )
-        vg = self.variogram
+        vparams = (
+            jnp.asarray(vg.nugget, self.dtype),
+            jnp.asarray(vg.sill, self.dtype),
+            jnp.asarray(vg.range_, self.dtype),
+        )
         if B <= chunk:
             return _local_predict(
-                *args, qs, Gy=Gy, Gx=Gx, k=self.k,
-                model=vg.model, nugget=vg.nugget, sill=vg.sill,
-                range_=vg.range_,
+                *args, qs, *vparams, Gs=Gs, k=self.k, model=vg.model
             )
         means, vars_ = [], []
         pad = (-B) % chunk
@@ -332,9 +367,8 @@ class LocalKriging:
         )
         for i in range(0, B + pad, chunk):
             m, v = _local_predict(
-                *args, qs_p[i : i + chunk], Gy=Gy, Gx=Gx, k=self.k,
-                model=vg.model, nugget=vg.nugget, sill=vg.sill,
-                range_=vg.range_,
+                *args, qs_p[i : i + chunk], *vparams,
+                Gs=Gs, k=self.k, model=vg.model,
             )
             means.append(m)
             vars_.append(v)
@@ -347,46 +381,54 @@ class LocalKriging:
         return self.predict(q)[0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("Gy", "Gx", "k", "model", "nugget", "sill", "range_"),
-)
+@functools.partial(jax.jit, static_argnames=("Gs", "k", "model"))
 def _local_predict(
-    xs_flat, v_flat, cell, origin, qs, *, Gy, Gx, k,
-    model, nugget, sill, range_,
+    xs_flat, v_flat, cell, origin, qs, nugget, sill, range_, *, Gs, k,
+    model,
 ):
     """One chunk of local-kriging predictions (grid arrays as jit args).
 
-    The variogram's fitted floats are STATIC (they bake into the
-    program like any other model hyperparameter); the cell grid rides
-    as arguments so axon remote-compile requests stay small.
+    The variogram's fitted floats are TRACED operands: one compiled
+    program per (Gs, cap, k, model) serves every fitted model — under
+    the axon tunnel each extra program costs seconds, so a per-fit
+    recompile would dominate small workloads.  The cell grid also rides
+    as arguments so remote-compile requests stay small.  Any d: the
+    neighborhood is the 3^d adjacent-cell block.
     """
+    import itertools
+
     from . import rbf_pu
 
-    vg = Variogram(model=model, nugget=nugget, sill=sill, range_=range_)
+    vgf = VARIOGRAM_MODELS[model]
+
+    def vg(h):
+        return nugget * (h > 0) + sill * vgf(h, range_)
+
     cap = xs_flat.shape[1]
+    d = qs.shape[1]
     dtype = qs.dtype
     ij = jnp.floor((qs - origin) / cell).astype(jnp.int32)
-    iy = jnp.clip(ij[:, 0], 0, Gy - 1)
-    ix = jnp.clip(ij[:, 1], 0, Gx - 1)
+    ax = [jnp.clip(ij[:, a], 0, Gs[a] - 1) for a in range(d)]
     xs_parts, v_parts, ok_parts = [], [], []
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            ny = iy + di
-            nx = ix + dj
-            inb = (ny >= 0) & (ny < Gy) & (nx >= 0) & (nx < Gx)
-            idx = jnp.where(inb, ny * Gx + nx, 0)
-            xs_parts.append(xs_flat[idx])               # [B, cap, 2]
-            v_parts.append(v_flat[idx])
-            ok_parts.append(
-                jnp.broadcast_to(inb[:, None], (inb.shape[0], cap))
-            )
-    xc = jnp.concatenate(xs_parts, axis=1)              # [B, 9cap, 2]
+    for offs in itertools.product((-1, 0, 1), repeat=d):
+        na = [ax[a] + offs[a] for a in range(d)]
+        inb = jnp.ones_like(na[0], bool)
+        idx = jnp.zeros_like(na[0])
+        for a in range(d):
+            inb = inb & (na[a] >= 0) & (na[a] < Gs[a])
+            idx = idx * Gs[a] + jnp.clip(na[a], 0, Gs[a] - 1)
+        idx = jnp.where(inb, idx, 0)
+        xs_parts.append(xs_flat[idx])               # [B, cap, d]
+        v_parts.append(v_flat[idx])
+        ok_parts.append(
+            jnp.broadcast_to(inb[:, None], (inb.shape[0], cap))
+        )
+    xc = jnp.concatenate(xs_parts, axis=1)              # [B, 3^d*cap, d]
     vc = jnp.concatenate(v_parts, axis=1)
     ok = jnp.concatenate(ok_parts, axis=1)
     ok = ok & jnp.all(jnp.abs(xc) < 1e6, axis=-1)       # poison pads
 
-    kk = min(k, 9 * cap)
+    kk = min(k, 3**d * cap)
     d2 = jnp.sum((xc - qs[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(ok, d2, jnp.inf)
     _, sel = jax.lax.top_k(-d2, kk)                     # [B, kk] nearest

@@ -99,10 +99,6 @@ def build_cell_grid(
     """
     xs_std = np.asarray(xs_std, np.float64)
     n, d = xs_std.shape
-    if d != 2:
-        raise errors.InvalidArgumentError(
-            "cell-list compact RBF is 2D for now (d=%d)" % d
-        )
     lo = xs_std.min(0)
     hi = xs_std.max(0)
     ext = np.maximum(hi - lo, 1e-300)
@@ -110,20 +106,21 @@ def build_cell_grid(
     cell = ext / G  # >= rho per axis
     ij = np.minimum((xs_std - lo) / cell, G - 1).astype(np.int64)
     ij = np.maximum(ij, 0)
-    flat = ij[:, 0] * G[1] + ij[:, 1]
+    n_cells = int(np.prod(G))
+    flat = np.ravel_multi_index(tuple(ij.T), tuple(G))
     order = np.argsort(flat, kind="stable")
-    counts = np.bincount(flat, minlength=G[0] * G[1])
+    counts = np.bincount(flat, minlength=n_cells)
     cap = int(counts.max())
     starts = np.concatenate([[0], np.cumsum(counts)])
-    slot_site = np.full((G[0] * G[1], cap), -1, np.int32)
+    slot_site = np.full((n_cells, cap), -1, np.int32)
     within = np.arange(n) - starts[flat[order]]
     slot_site[flat[order], within] = order.astype(np.int32)
-    xs_pad = np.full((G[0] * G[1], cap, d), _POISON, np.float64)
+    xs_pad = np.full((n_cells, cap, d), _POISON, np.float64)
     xs_pad[flat[order], within] = xs_std[order]
     conv = (lambda a: a) if as_numpy else jnp.asarray
     return CellGrid(
-        xs_pad=conv(xs_pad.reshape(G[0], G[1], cap, d)),
-        slot_site=conv(slot_site.reshape(G[0], G[1], cap)),
+        xs_pad=conv(xs_pad.reshape(*G, cap, d)),
+        slot_site=conv(slot_site.reshape(*G, cap)),
         n_sites=n,
         cell_size=float(cell.max()),
         origin=conv(lo),

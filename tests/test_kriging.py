@@ -135,3 +135,53 @@ class TestLocalKriging:
         # dense local field: interpolation error well under the signal
         assert np.max(np.abs(np.asarray(mean) - ref)) < 0.05
         assert np.all(np.asarray(var) >= 0)
+
+    def test_3d_matches_dense_when_k_covers_all(self):
+        # d > 2 (VERDICT r3 item 8: lift the 2D restriction): the 3^d
+        # cell neighborhood + local saddle solves must reproduce the
+        # dense OK predictor when k covers every site.
+        rng = np.random.default_rng(9)
+        x = rng.uniform(0, 10, size=(40, 3))
+        f = np.sin(x[:, 0] * 0.5) + 0.3 * x[:, 1] - 0.2 * x[:, 2]
+        vg = kriging.Variogram(
+            "exponential", nugget=0.0, sill=1.0, range_=0.5
+        )
+        dense = kriging.OrdinaryKriging(x, f, variogram=vg)
+        local = kriging.LocalKriging(
+            x, f, variogram=vg, k_neighbors=40, target_per_cell=200.0
+        )
+        q = rng.uniform(1, 9, size=(150, 3))
+        m_d, v_d = dense.predict(q)
+        m_l, v_l = local.predict(q)
+        testing.test_abs(np.asarray(m_l), np.asarray(m_d), 1e-7)
+        testing.test_abs(np.asarray(v_l), np.asarray(v_d), 1e-7)
+
+    def test_refit_does_not_recompile(self):
+        # the fitted variogram floats are traced operands: two models
+        # with different parameters (same structure) must share ONE
+        # compiled predict program (VERDICT r3 item 8).
+        rng = np.random.default_rng(11)
+        x = rng.uniform(0, 10, size=(400, 2))
+        f = np.sin(x[:, 0]) + np.cos(x[:, 1])
+        vg1 = kriging.Variogram(
+            "spherical", nugget=0.01, sill=1.0, range_=0.4
+        )
+        vg2 = kriging.Variogram(
+            "spherical", nugget=0.05, sill=2.0, range_=0.7
+        )
+        q = rng.uniform(1, 9, size=(100, 2))
+        m1 = kriging.LocalKriging(
+            x, f, variogram=vg1, k_neighbors=12, target_per_cell=4.0
+        )
+        n0 = kriging._local_predict._cache_size()
+        m1.predict(q)
+        n1 = kriging._local_predict._cache_size()
+        m2 = kriging.LocalKriging(
+            x, f + 0.5, variogram=vg2, k_neighbors=12,
+            target_per_cell=4.0,
+        )
+        out2 = m2.predict(q)
+        n2 = kriging._local_predict._cache_size()
+        assert n1 == n0 + 1
+        assert n2 == n1, "refit with new variogram floats recompiled"
+        assert np.all(np.isfinite(np.asarray(out2[0])))
