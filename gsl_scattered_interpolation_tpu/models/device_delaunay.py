@@ -408,13 +408,24 @@ def _match_and_flip(
 ):
     """Mutual-minimum matching + in-place execution of the matched flips.
 
-    Returns ``(tri_v, tri_n, cc, flip_info [M, 3], rep [6*Rf],
-    repv [6*Rf], any_flip)`` — the rewritten arrays, the EXECUTED-pair
-    (partner, own_apex, partner_apex) map, the possibly-stale rows for
-    neighbor repair (+ validity mask), and the progress flag.  With
-    ``want_frec`` an [M, 6] float relocation record (new-diagonal
-    coordinates, own-apex side sign, partner id) is appended for
-    :func:`_assign_flip_side_rec`.
+    Neighbor repair is INTEGRATED (no post-pass needed): the pair rows'
+    outward pointers (Np, Up, Nq, Uq) are resolved through the round's
+    flip_info map *before* the single tri_n pair write, and the only two
+    outer rows whose pointer into the pair goes stale — Up (held ``us``,
+    face {e,qv} now owned by row ``ts``) and Nq (held ``ts``, face
+    {c,pv} now owned by ``us``) — get a slot-targeted single-element fix.
+    Np ({c,qv} stays with row ts) and Uq ({e,pv} stays with us) keep
+    valid pointers by construction, which is why the old 6Rf-row
+    re-derivation pass (_repair_rows) was 4x more work than required
+    (~115 ms of a 353 ms sweep round at R=524k, measured r4).
+
+    Returns ``(tri_v, tri_n, cc, flip_info [M, 3], pair_rows [2*Rf],
+    pair_valid [2*Rf], any_flip, n_exec)`` — the rewritten arrays, the
+    EXECUTED-pair (partner, own_apex, partner_apex) map, the rewritten
+    pair rows (+ validity mask, for dirty marking), and the progress
+    flag.  With ``want_frec`` an [M, 6] float relocation record
+    (new-diagonal coordinates, own-apex side sign, partner id) is
+    appended for :func:`_assign_flip_side_rec`.
     """
     M = tri_v.shape[0]
     rs = jnp.where(rvalid, rows, 0)
@@ -510,11 +521,68 @@ def _match_and_flip(
         ),
         mode="drop",
     )
-    new_tn = tri_n.at[rows_tu].set(
+    # EXECUTED-only flip-info map over the global id space (see
+    # docstring), built BEFORE the tri_n write: the pair's outward
+    # pointers (gathered pre-round) may name rows that flipped in this
+    # same round, and resolve through this map in one [4Rf] gather.
+    flip_info = jnp.full((M, 3), -1, jnp.int32).at[rows_tu].set(
         jnp.concatenate(
-            [jnp.stack([Np, Up, us], -1), jnp.stack([Nq, Uq, ts], -1)]
+            [
+                jnp.stack([us, qv, pv], -1),
+                jnp.stack([ts, pv, qv], -1),
+            ]
         ),
         mode="drop",
+    )
+    # Outward resolution: pointer value v with face (a, b) belongs to v
+    # itself when the face contains v's own apex, to v's partner when it
+    # contains the partner apex (one hop suffices: the face is an OUTER
+    # face of v's pair, so it contains exactly one of the two apexes).
+    out_ids = jnp.concatenate([Np, Up, Nq, Uq])  # [4Rf]
+    info4 = geometry.take_rows(
+        flip_info, jnp.where(out_ids >= 0, out_ids, 0)
+    )  # [4Rf, 3]
+    fa4 = jnp.concatenate([c, e, c, e])
+    fb4 = jnp.concatenate([qv, qv, pv, pv])
+    partner4, ap_own4, ap_par4 = info4[:, 0], info4[:, 1], info4[:, 2]
+    hit_par = (fa4 == ap_par4) | (fb4 == ap_par4)
+    res4 = jnp.where(
+        (out_ids >= 0) & (partner4 >= 0) & hit_par, partner4, out_ids
+    )
+    Rf_ = Np.shape[0]
+    Np_r, Up_r = res4[:Rf_], res4[Rf_ : 2 * Rf_]
+    Nq_r, Uq_r = res4[2 * Rf_ : 3 * Rf_], res4[3 * Rf_ :]
+    new_tn = tri_n.at[rows_tu].set(
+        jnp.concatenate(
+            [jnp.stack([Np_r, Up_r, us], -1),
+             jnp.stack([Nq_r, Uq_r, ts], -1)]
+        ),
+        mode="drop",
+    )
+    # Incoming fixes: un-flipped Up must now point at ts (held us);
+    # un-flipped Nq at us (held ts).  A flipped Up/Nq already resolved
+    # its pointer into the pair via its own outward resolution above.
+    # Distinct (row, slot) targets across all executed flips (a row
+    # shares at most one face with any pair, and rows_tu are unique), so
+    # a flat single-element scatter applies every fix at once.
+    x2 = jnp.concatenate([Up, Nq])
+    old2 = jnp.concatenate([us, ts])
+    new2 = jnp.concatenate([ts, us])
+    x_flipped = (
+        jnp.concatenate(
+            [partner4[Rf_ : 2 * Rf_], partner4[2 * Rf_ : 3 * Rf_]]
+        )
+        >= 0
+    )
+    ok2 = jnp.concatenate([fvalid, fvalid]) & (x2 >= 0) & ~x_flipped
+    xrows = geometry.take_rows(new_tn, jnp.where(ok2, x2, 0))  # [2Rf, 3]
+    is_old = xrows == old2[:, None]
+    slot2 = jnp.argmax(is_old, axis=-1).astype(jnp.int32)
+    flat2 = jnp.where(
+        ok2 & jnp.any(is_old, axis=-1), x2 * 3 + slot2, 3 * M + 1
+    )
+    new_tn = (
+        new_tn.reshape(-1).at[flat2].set(new2, mode="drop").reshape(M, 3)
     )
 
     # Refresh circumcircle metadata for rewritten pairs from the
@@ -538,27 +606,9 @@ def _match_and_flip(
         ),
         mode="drop",
     )
-    # EXECUTED-only flip-info map over the global id space:
-    # (partner, own_apex, partner_apex) per rewritten row, for repair and
-    # site relocation.  (Matched-but-deferred pairs are excluded: their
-    # geometry is unchanged, so repairing or relocating around them is
-    # pure waste — and the post-flip slot layout the relocation decider
-    # relies on doesn't hold for them.)  The apexes drive the repair
-    # rule: a face into the pair contains exactly one of (qv, pv), which
-    # identifies its owner without gathering candidate vertex rows.
-    flip_info = jnp.full((M, 3), -1, jnp.int32).at[rows_tu].set(
-        jnp.concatenate(
-            [
-                jnp.stack([us, qv, pv], -1),
-                jnp.stack([ts, pv, qv], -1),
-            ]
-        ),
-        mode="drop",
-    )
-    # Rows whose neighbor pointers may now be stale: the pair + its four
-    # outer neighbors.
-    rep = jnp.concatenate([ts, us, Np, Nq, Up, Uq])
-    repv = jnp.concatenate([fvalid] * 6) & (rep >= 0)
+    # The rewritten pair rows (for the caller's dirty re-marking).
+    rep = jnp.concatenate([ts, us])
+    repv = jnp.concatenate([fvalid, fvalid])
     n_exec = jnp.sum(fvalid, dtype=jnp.int32)  # x64: plain sum -> int64
     if not want_frec:
         return new_tv, new_tn, cc, flip_info, rep, repv, any_flip, n_exec
@@ -610,9 +660,7 @@ def _flip_round(pts, carry, relocate=True):
     new_tv, new_tn, cc, flip_info, _rep, _repv, any_flip, _n_exec = (
         _match_and_flip(pts, tri_v, tri_n, cc, rows, rvalid, tv, tn, cand_ok)
     )
-
-    # Gather-repair stale pointers into flipped triangles.
-    new_tn = _repair_after_flip(new_tv, new_tn, flip_info)
+    # Neighbor repair is integrated into _match_and_flip.
 
     if relocate:
         # Re-locate sites straddling an executed flip (insert phase only;
@@ -714,6 +762,210 @@ def build_2d(
     return final.tri_v, final.tri_n, alive, final.n_tris
 
 
+def _locate_walk_exact(pts, tri_v, tri_n, start, q, max_steps: int = 64):
+    """Exact-predicate visibility walk over build-state arrays.
+
+    Steps across the most-violated face by the SIGN of the compensated
+    orientation predicates (ops/robust.py), so the final containment
+    verdict is exact on the build coordinates — unlike the f32
+    affine-weight walk (device_tri.locate), whose ~1e-6 containment
+    slack could hand a boundary site to a non-containing triangle and
+    seed an inverted split.  Faces follow the slot convention (slot i =
+    neighbor opposite vertex i); odd steps take the second-most-violated
+    face when several are violated (stochastic-walk cycle break, as in
+    device_tri.locate); on-edge queries (orient == 0) count as contained,
+    matching the build's tie handling.  Walks on a Delaunay seed from a
+    bucket-grid hint terminate in a handful of steps.
+    """
+    B = q.shape[0]
+    cur = jnp.asarray(start, jnp.int32)
+    prev = jnp.full(B, -1, jnp.int32)
+    done = jnp.zeros(B, bool)
+
+    def cond(state):
+        cur, prev, done, steps = state
+        return jnp.logical_and(steps < max_steps, ~jnp.all(done))
+
+    def body(state):
+        cur, prev, done, steps = state
+        tv = geometry.take_rows(tri_v, cur)  # [B, 3]
+        p3 = geometry.take_rows(pts, jnp.maximum(tv, 0))  # [B, 3, 2]
+        # Face i is (v_{i+1}, v_{i+2}); one batched predicate over the
+        # [B, 3] face grid, normalized by the triangle's orientation.
+        a = jnp.roll(p3, -1, axis=1)
+        b = jnp.roll(p3, -2, axis=1)
+        s3 = robust.orient2d_ds(a, b, q[:, None, :])  # [B, 3]
+        o = robust.orient2d_ds(p3[:, 0], p3[:, 1], p3[:, 2])
+        osg = jnp.where(o < 0, -1.0, 1.0).astype(s3.dtype)
+        s3 = s3 * osg[:, None]
+        inside = jnp.all(s3 >= 0, axis=-1)
+        worst = jnp.argmin(s3, axis=-1)
+        s2 = jnp.where(
+            jnp.arange(3) == worst[:, None], jnp.inf, s3
+        )
+        second = jnp.argmin(s2, axis=-1)
+        two_neg = jnp.sum((s3 < 0).astype(jnp.int32), axis=-1) > 1
+        worst = jnp.where(
+            two_neg & ((steps & 1) == 1), second, worst
+        ).astype(jnp.int32)
+        tn = geometry.take_rows(tri_n, cur)
+        nbr = jnp.take_along_axis(tn, worst[:, None], -1)[:, 0]
+        cycling = (nbr == prev) & ~inside
+        newly_done = inside | (nbr < 0) | cycling
+        advance = ~(done | newly_done)
+        new_cur = jnp.where(advance, nbr, cur)
+        new_prev = jnp.where(advance, cur, prev)
+        return new_cur, new_prev, done | newly_done, steps + 1
+
+    cur, _, _, _ = jax.lax.while_loop(
+        cond, body, (cur, prev, done, jnp.int32(0))
+    )
+    return cur
+
+
+def _seed_grid_fill(pts, tri_v, grid_res: int):
+    """Walk-start hint grid over [-0.5, 0.5]^2 from triangle centroids
+    (rows with tri_v[:, 0] < 0 are unallocated pads), BFS-dilated to
+    cover empty cells — the build-state analog of device_tri._grid_device
+    (which needs a compacted triangulation)."""
+    M = tri_v.shape[0]
+    valid = tri_v[:, 0] >= 0
+    cent = geometry.take_rows(pts, jnp.maximum(tri_v, 0)).mean(axis=1)
+    cells = jnp.clip(
+        ((cent + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
+    )
+    flat = cells[:, 0] * grid_res + cells[:, 1]
+    g = jnp.full(grid_res * grid_res, -1, jnp.int32).at[
+        jnp.where(valid, flat, grid_res * grid_res)
+    ].max(jnp.arange(M, dtype=jnp.int32), mode="drop").reshape(
+        grid_res, grid_res
+    )
+
+    def dil(g):
+        ng = g
+        for ax in (0, 1):
+            for s in (1, -1):
+                cand = jnp.roll(g, s, axis=ax)
+                idx = [slice(None)] * 2
+                idx[ax] = 0 if s == 1 else grid_res - 1
+                cand = cand.at[tuple(idx)].set(-1)
+                ng = jnp.where(ng < 0, cand, ng)
+        return ng
+
+    return jax.lax.while_loop(lambda g: jnp.any(g < 0), dil, g)
+
+
+def _seed_state_2d(
+    sites_padded, cage_std, n_real: int, dtype, seed_frac: int = 8,
+    grid_res: int = 512,
+):
+    """Qhull-import bootstrap for the chunked 2D build (README:18).
+
+    The self-seeded build spends its first ~half on doubling rounds: with
+    few leaves, claims per split round are capped by the leaf count, so
+    ~log2(N) round-trips insert almost nothing (the same ramp the 3D
+    cavity engine measured — device_cavity.py seed rationale).  Importing
+    the exact Delaunay triangulation of the first ``n_pad/seed_frac``
+    shuffled sites (cage included, so the seed covers the whole cage —
+    Qhull milliseconds-to-a-second) starts the rounds dense: remaining
+    sites spread ~evenly over the seed leaves and the claim schedule
+    saturates immediately.  Qhull runs on the dtype-ROUNDED jittered
+    coords, so its exact predicates see exactly the device's point set
+    and the seed is Delaunay for the device's compensated predicates too
+    (zero initial dirty rows).
+
+    Remaining sites are located ON DEVICE by an exact-predicate walk
+    (:func:`_locate_walk_exact`) — scipy's ``find_simplex`` measured
+    10-25 s for ~0.9M queries on this 1-core host, ~20x the walk.
+
+    Returns ``(pts_dev, BuildState, dirty)`` ready for
+    :func:`build_2d_chunked`, or None when scipy/Qhull is unavailable.
+    """
+    try:
+        from scipy.spatial import Delaunay as _SciDelaunay
+    except Exception:  # pragma: no cover - scipy is baked in
+        return None
+    n_pad = sites_padded.shape[0]
+    m = n_pad // seed_frac
+    if m < 32 or m > n_real:
+        return None
+    np_dtype = np.dtype(dtype)
+    full_m = 2 * n_pad + 3
+    rounded = sites_padded[:m].astype(np_dtype).astype(np.float64)
+    cage_r = np.asarray(cage_std, np.float64)
+    sd = _SciDelaunay(np.concatenate([cage_r, rounded]))
+    tv0 = np.asarray(sd.simplices, np.int32)  # point ids == global ids
+    tn0 = np.asarray(sd.neighbors, np.int32)
+    T0 = tv0.shape[0]
+    # Host cc: the orientation determinant of f32-rounded coords is exact
+    # in f64 (diffs and 24-bit products exact; the final subtraction is
+    # sign-exact), so the ok flag matches the device predicates.
+    p = np.concatenate([cage_r, rounded])
+    pa, pb, pc = p[tv0[:, 0]], p[tv0[:, 1]], p[tv0[:, 2]]
+    det = (pb[:, 0] - pa[:, 0]) * (pc[:, 1] - pa[:, 1]) - (
+        pb[:, 1] - pa[:, 1]
+    ) * (pc[:, 0] - pa[:, 0])
+    tv_h = np.full((full_m, 3), -1, np.int32)
+    tv_h[:T0] = tv0
+    tn_h = np.full((full_m, 3), -1, np.int32)
+    tn_h[:T0] = tn0
+    cc_h = np.zeros((full_m, 2), np_dtype)
+    cc_h[:T0, 0] = (det != 0).astype(np_dtype)
+    cc_h[:T0, 1] = tv0.sum(1).astype(np_dtype)
+    # Sites Qhull merged away (duplicates/coplanar): not vertices of the
+    # seed — locate and insert them like the rest.
+    inserted = np.zeros(n_pad, bool)
+    inserted[:m] = True
+    if len(sd.coplanar):
+        cop = sd.coplanar[:, 0] - 3  # input ids -> site ids
+        inserted[cop[(cop >= 0) & (cop < m)]] = False
+    inserted[n_real:] = True  # bucket pads: never claimed
+    n_left = int((~inserted).sum())
+
+    from ..utils import config as _config
+
+    def make_seed_init():
+        @jax.jit
+        def seed_init(sites, cage, tv, tn, cc, ins, n_tris):
+            pts = jnp.concatenate([cage.astype(sites.dtype), sites])
+            g = _seed_grid_fill(pts, tv, grid_res)
+            q = pts[3:]
+            qc = jnp.clip(
+                ((q + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
+            )
+            start = g.reshape(-1)[qc[:, 0] * grid_res + qc[:, 1]]
+            loc = _locate_walk_exact(pts, tv, tn, start, q)
+            site_tri = jnp.where(ins, jnp.int32(-1), loc)
+            st = BuildState(
+                tv, tn, cc, n_tris, site_tri,
+                jnp.sum(~ins, dtype=jnp.int32),
+            )
+            return pts, st, jnp.zeros(full_m, bool)
+
+        return seed_init
+
+    args = (
+        jnp.asarray(sites_padded, dtype),
+        jnp.asarray(cage_std, dtype),
+        jnp.asarray(tv_h),
+        jnp.asarray(tn_h),
+        jnp.asarray(cc_h),
+        jnp.asarray(inserted),
+        jnp.int32(T0),
+    )
+    fn = _aot_compile(
+        ("seed_init", n_pad, full_m, grid_res, str(np_dtype)),
+        make_seed_init,
+        args,
+    )
+    pts, st, dirty = fn(*args)
+    _config.log.info(
+        "build: qhull seed %d sites, %d tris, %d left to insert",
+        m, T0, n_left,
+    )
+    return pts, st, dirty
+
+
 def build_2d_chunked(
     sites_std,
     cage_std,
@@ -729,6 +981,9 @@ def build_2d_chunked(
     r_site: int = 1 << 21,
     sweep_rounds: int = 8,
     sweep_rf_div: int = 2,
+    sweep_r: int | None = None,
+    sweep_rf_big: int | None = None,
+    seed=None,
 ):
     """Host-orchestrated chunked build: short device executions in batches
     of up to ``k_batch`` insertion rounds per dispatch.
@@ -786,21 +1041,26 @@ def build_2d_chunked(
 
         return init_all
 
-    sites_dev = jnp.asarray(sites_std)
-    cage_dev = jnp.asarray(cage_std)
-    nreal_dev = jnp.int32(N if n_real is None else n_real)
-    init_c = _aot_compile(
-        ("init_all", N, cap_now), make_init,
-        (sites_dev, cage_dev, N, nreal_dev, cap_now),
-    )
-    pts, st, dirty = init_c(sites_dev, cage_dev, nreal_dev)
-    t_disp = _time.perf_counter()
-    jax.block_until_ready(st.site_tri)
-    config.log.info(
-        "build: init state %.2fs (trace+enqueue %.2fs)",
-        _time.perf_counter() - t_entry,
-        t_disp - t_entry,
-    )
+    if seed is not None:
+        # Qhull-import bootstrap (_seed_state_2d): state arrives built.
+        pts, st, dirty = seed
+        cap_now = st.tri_v.shape[0]
+    else:
+        sites_dev = jnp.asarray(sites_std)
+        cage_dev = jnp.asarray(cage_std)
+        nreal_dev = jnp.int32(N if n_real is None else n_real)
+        init_c = _aot_compile(
+            ("init_all", N, cap_now), make_init,
+            (sites_dev, cage_dev, N, nreal_dev, cap_now),
+        )
+        pts, st, dirty = init_c(sites_dev, cage_dev, nreal_dev)
+        t_disp = _time.perf_counter()
+        jax.block_until_ready(st.site_tri)
+        config.log.info(
+            "build: init state %.2fs (trace+enqueue %.2fs)",
+            _time.perf_counter() - t_entry,
+            t_disp - t_entry,
+        )
 
     def make_k_rounds(R, rsite):
         # k is a traced operand: one program serves every batch size.
@@ -850,7 +1110,7 @@ def build_2d_chunked(
 
         return k_rounds
 
-    def make_sweep(R):
+    def make_sweep(R, rf):
         # k (rounds per dispatch) is a traced operand: one program serves
         # every batch size, and the host keeps each device execution
         # short — a long saturated-sweep execution trips the TPU runtime
@@ -864,7 +1124,7 @@ def build_2d_chunked(
             # (measured 131k = R//4 executed every early round), so the
             # cap is now a tunable (sweep_rf_div).
             return _flip_sweep_compact(
-                pts, tri_v, tri_n, cc, dirty, R, k, rf_div=sweep_rf_div
+                pts, tri_v, tri_n, cc, dirty, R, k, rf_div=rf
             )
 
         return sweep
@@ -950,11 +1210,18 @@ def build_2d_chunked(
         # ~0.3 s scalar readbacks); big-rung dispatches stay short for
         # the watchdog.
         tail = nd < (3 * r_small) // 4
-        R = r_small if tail else min(r_compact, full_m)
+        # Big-rung window: the final sweep has NO relocation work, and its
+        # first dispatches face the whole post-insert violation backlog —
+        # a wider window + deeper flip cap (sweep_r, sweep_rf_div) drains
+        # it in fewer rounds, each amortizing the fixed per-round kernel
+        # overhead over more executed flips.
+        r_big = min(r_compact if sweep_r is None else sweep_r, full_m)
+        R = r_small if tail else r_big
+        rf = sweep_rf_div if tail or sweep_rf_big is None else sweep_rf_big
         cap_rounds = 16 * sweep_rounds if tail else k_sweep
         sw = _aot_compile(
-            ("sweep", full_m, R, N, str(dtype), sweep_rf_div),
-            lambda: make_sweep(R),
+            ("sweep", full_m, R, N, str(dtype), rf),
+            lambda: make_sweep(R, rf),
             (pts, tri_v, tri_n, cc, dirty, jnp.int32(cap_rounds)),
         )
         t_dispatch = _time.perf_counter()
@@ -1018,6 +1285,9 @@ def triangulate(
     dtype=jnp.float64,
     grid_res: int = 256,
     chunk_threshold: int = 400_000,
+    seed_import: str = "auto",
+    seed_min: int = 200_000,
+    seed_frac: int = 8,
 ):
     """End-to-end device Delaunay: standardize, cage, shuffle, build, freeze.
 
@@ -1081,8 +1351,19 @@ def triangulate(
         # execution would trip the TPU runtime watchdog at this scale.
         # (chunk_threshold is a tuning knob, exposed so tests can force the
         # chunked path on small inputs and assert build equivalence.)
+        # At scale, bootstrap from a Qhull seed of the first n_pad/seed_frac
+        # sites (the reference's planned import feature, README:18): the
+        # early doubling rounds vanish and the seed fraction arrives
+        # already Delaunay.  seed_import="self" disables.
+        seed = None
+        if seed_import in ("auto", "qhull") and n >= seed_min:
+            seed = _seed_state_2d(
+                sites_padded, np.asarray(cage_std, np.float64), n, dtype,
+                seed_frac=seed_frac,
+            )
         tri_v, tri_n, alive, _ = build_2d_chunked(
-            jnp.asarray(sites_padded, dtype), cage_std, n_real=n
+            jnp.asarray(sites_padded, dtype), cage_std, n_real=n,
+            seed=seed,
         )
     else:
         tri_v, tri_n, alive, _ = jax.jit(build_2d)(
@@ -1125,57 +1406,6 @@ def _repair_after_split(tri_v, tri_n, split_flag, cA, cB, n_tris):
         owner = _owner_of_face(tri_v, cands, a, b)
         out = out.at[:, m].set(jnp.where(stale, owner, n))
     return out
-
-
-def _resolve_flipped_neighbor(tri_n_rows, tri_v_rows, flip_info, valid):
-    """Apex-rule repair of pointers at flipped rows, for [..., 3] rows.
-
-    A face into an executed flip pair (T1=(e,c,qv), T2=(e,c,pv)) contains
-    exactly one of the apexes (qv, pv), which names its owner; the
-    internal diagonal (e,c) contains neither and keeps the pointer.  One
-    [..., 3]-row gather of the (partner, own_apex, partner_apex) map
-    replaces the generic candidate-vertex owner search (~4x less
-    gathered data — the dominant repair cost at 1M scale).
-    """
-    info = geometry.take_rows(
-        flip_info, jnp.where(tri_n_rows >= 0, tri_n_rows, 0)
-    )  # [..., 3, 3]
-    partner, apex_own, apex_par = (
-        info[..., 0], info[..., 1], info[..., 2]
-    )
-    stale = valid & (tri_n_rows >= 0) & (partner >= 0)
-    a = jnp.roll(tri_v_rows, -1, axis=-1)
-    b = jnp.roll(tri_v_rows, -2, axis=-1)
-    owner = jnp.where(
-        (a == apex_own) | (b == apex_own),
-        tri_n_rows,
-        jnp.where((a == apex_par) | (b == apex_par), partner, tri_n_rows),
-    )
-    return jnp.where(stale, owner, tri_n_rows)
-
-
-def _repair_after_flip(tri_v, tri_n, flip_info):
-    """Re-resolve neighbor ids pointing at triangles that just flipped
-    (dense all-rows form)."""
-    return _resolve_flipped_neighbor(
-        tri_n, tri_v, flip_info, jnp.ones(tri_n.shape[:-1] + (1,), bool)
-    )
-
-
-def _repair_rows(tri_v, tri_n, flip_info, rrows, rvalid):
-    """Like :func:`_repair_after_flip` but only for the listed rows.
-
-    After a flip, the only stale neighbor pointers live in the flipped
-    pair and its four outer neighbors — [6R] rows instead of all M.
-    Duplicate rows are fine: every repair recomputes the same owner from
-    the post-flip arrays, so repeated scatters are idempotent.
-    """
-    M = tri_v.shape[0]
-    rs = jnp.where(rvalid, rrows, 0)
-    tvr = geometry.take_rows(tri_v, rs)
-    tnr = geometry.take_rows(tri_n, rs)
-    out = _resolve_flipped_neighbor(tnr, tvr, flip_info, rvalid[:, None])
-    return tri_n.at[jnp.where(rvalid, rrows, M + 1)].set(out, mode="drop")
 
 
 def _relocate_sites_chunked(pts, site_tri, affected, decide, r_site):
@@ -1528,7 +1758,8 @@ def _flip_sweep_compact(
         # candidate EDGES this round (each flippable edge counted from
         # both sides): executed/(candidates/2) is the matching yield
         n_cands = n_cands + jnp.sum(cand_ok, dtype=jnp.int32)
-        tri_n = _repair_rows(tri_v, tri_n, flip_info, rep, repv)
+        # Neighbor repair is integrated into _match_and_flip; rep/repv
+        # are the rewritten pair rows.
         # Processed rows stay dirty iff they still carry a candidate edge
         # (lost the matching / claim arbitration); rewritten PAIR rows are
         # re-marked.  Outer neighbors are NOT marked: any newly-violating
@@ -1538,9 +1769,8 @@ def _flip_sweep_compact(
         dirty = dirty.at[jnp.where(rvalid, rows, M + 1)].set(
             jnp.any(cand_ok, axis=-1), mode="drop"
         )
-        n_pair = rep.shape[0] // 3  # rep = [ts | us | 4 outer blocks]
         dirty = dirty.at[
-            jnp.where(repv[:n_pair], rep[:n_pair], M + 1)
+            jnp.where(repv, rep, M + 1)
         ].set(True, mode="drop")
         if relocate:
             frec = out[8]

@@ -110,6 +110,45 @@ class TestBuild:
             n_data=len(sites),
         )
 
+    def test_qhull_seeded_equals_single(self):
+        # The Qhull-import bootstrap (the at-scale default, README:18)
+        # must produce the identical triangulation to the self-seeded
+        # build: the seed is Delaunay by construction and the remaining
+        # sites insert through the same claim/split/flip machinery.
+        sites = _rand(3000, 17)
+        tri_a, sh_a = dd.triangulate(sites, flags=ht.NOSTANDARDIZE)
+        tri_b, sh_b = dd.triangulate(
+            sites, flags=ht.NOSTANDARDIZE, chunk_threshold=1000,
+            seed_min=1000,
+        )
+        np.testing.assert_array_equal(sh_a, sh_b)
+        assert _alive_simplex_set(tri_a) == _alive_simplex_set(tri_b)
+        integrity.check_arrays(
+            np.asarray(tri_b.points_std),
+            tri_b.tri_verts,
+            tri_b.tri_nbrs,
+            n_data=len(sites),
+        )
+
+    def test_qhull_seeded_gridded_degenerate(self):
+        # Lattice input through the seeded path: duplicate-free but
+        # exactly-degenerate pre-jitter; the seed locate's exact walk and
+        # the flip machinery must still produce a valid triangulation.
+        side = 40  # 1600 sites
+        pts = np.stack(
+            np.meshgrid(np.arange(side), np.arange(side), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 2).astype(float)
+        tri, _ = dd.triangulate(
+            pts, chunk_threshold=500, seed_min=500
+        )
+        integrity.check_arrays(
+            np.asarray(tri.points_std),
+            tri.tri_verts,
+            tri.tri_nbrs,
+            n_data=len(pts),
+        )
+
     def test_staged_capacity_equals_single(self):
         # Force many capacity stages (start_cap far below 2N+3, smallest
         # growth factor) and compact-sweep overflow (r_compact << M): the
