@@ -762,102 +762,139 @@ def build_2d(
     return final.tri_v, final.tri_n, alive, final.n_tris
 
 
-def _locate_walk_exact(pts, tri_v, tri_n, start, q, max_steps: int = 64):
-    """Exact-predicate visibility walk over build-state arrays.
+def _pack_walk_rows(pts, tri_v, tri_n):
+    """[M, 9] per-triangle walk record: CCW-ordered vertex coordinates +
+    slot-matched neighbor ids (as floats — exact for ids < 2^24).
+
+    One row gather per walk step replaces the two-level tri_v -> pts
+    gather plus the tri_n gather plus a per-step orientation predicate
+    (the CCW reorder bakes the orientation sign in); per-step gathered
+    bytes and kernel count both drop ~3x.  Swapping v1<->v2 swaps the
+    faces opposite them, so slots 1 and 2 of tri_n swap along.
+    """
+    p3 = geometry.take_rows(pts, jnp.maximum(tri_v, 0))  # [M, 3, 2]
+    o = robust.orient2d_ds(p3[:, 0], p3[:, 1], p3[:, 2])
+    sw = (o < 0)[:, None]
+    v1 = jnp.where(sw, p3[:, 2], p3[:, 1])
+    v2 = jnp.where(sw, p3[:, 1], p3[:, 2])
+    n1 = jnp.where(sw[:, 0], tri_n[:, 2], tri_n[:, 1])
+    n2 = jnp.where(sw[:, 0], tri_n[:, 1], tri_n[:, 2])
+    nbrs = jnp.stack([tri_n[:, 0], n1, n2], -1).astype(pts.dtype)
+    return jnp.concatenate([p3[:, 0], v1, v2, nbrs], -1)
+
+
+def _walk_step(packed, q, state):
+    """One visibility-walk step (shared by both phases below)."""
+    cur, prev, done, steps = state
+    row = geometry.take_rows(packed, cur)  # [B, 9]
+    v0, v1, v2 = row[:, 0:2], row[:, 2:4], row[:, 4:6]
+    # Face i is opposite vertex i: (v1,v2), (v2,v0), (v0,v1) — one
+    # batched predicate over the [B, 3] face grid (CCW: inside >= 0).
+    A = jnp.stack([v1, v2, v0], 1)
+    Bv = jnp.stack([v2, v0, v1], 1)
+    s3 = robust.orient2d_ds(A, Bv, q[:, None, :])  # [B, 3]
+    inside = jnp.all(s3 >= 0, axis=-1)
+    worst = jnp.argmin(s3, axis=-1)
+    s2 = jnp.where(jnp.arange(3) == worst[:, None], jnp.inf, s3)
+    second = jnp.argmin(s2, axis=-1)
+    two_neg = jnp.sum((s3 < 0).astype(jnp.int32), axis=-1) > 1
+    worst = jnp.where(
+        two_neg & ((steps & 1) == 1), second, worst
+    ).astype(jnp.int32)
+    nbr = jnp.take_along_axis(
+        row[:, 6:9], worst[:, None], -1
+    )[:, 0].astype(jnp.int32)
+    cycling = (nbr == prev) & ~inside
+    newly_done = inside | (nbr < 0) | cycling
+    advance = ~(done | newly_done)
+    new_cur = jnp.where(advance, nbr, cur)
+    new_prev = jnp.where(advance, cur, prev)
+    return new_cur, new_prev, done | newly_done, steps + 1
+
+
+def _walk_contained(packed, cur, q):
+    """Exact containment of q in triangle cur (packed CCW rows)."""
+    row = geometry.take_rows(packed, cur)
+    v0, v1, v2 = row[:, 0:2], row[:, 2:4], row[:, 4:6]
+    A = jnp.stack([v1, v2, v0], 1)
+    Bv = jnp.stack([v2, v0, v1], 1)
+    return jnp.all(
+        robust.orient2d_ds(A, Bv, q[:, None, :]) >= 0, axis=-1
+    )
+
+
+def _locate_walk_exact(
+    packed, start, q, max_steps: int = 256, lockstep: int = 8,
+    tail_div: int = 16,
+):
+    """Exact-predicate visibility walk over packed per-triangle rows.
 
     Steps across the most-violated face by the SIGN of the compensated
     orientation predicates (ops/robust.py), so the final containment
     verdict is exact on the build coordinates — unlike the f32
     affine-weight walk (device_tri.locate), whose ~1e-6 containment
     slack could hand a boundary site to a non-containing triangle and
-    seed an inverted split.  Faces follow the slot convention (slot i =
-    neighbor opposite vertex i); odd steps take the second-most-violated
-    face when several are violated (stochastic-walk cycle break, as in
-    device_tri.locate); on-edge queries (orient == 0) count as contained,
-    matching the build's tie handling.  Walks on a Delaunay seed from a
-    bucket-grid hint terminate in a handful of steps.
+    seed an inverted split.  Rows come from :func:`_pack_walk_rows`
+    (CCW order, so no per-step orientation normalization); odd steps
+    take the second-most-violated face when several are violated; on-edge
+    queries (orient == 0) count as contained, matching the build's tie
+    handling.
+
+    TWO PHASES: nearest-site hints put ~99.5%% of queries home within a
+    few steps, but ~0.1-0.2%% take 20-50 step visibility-walk DETOURS
+    (measured; inherent — per-query randomized face choice does not
+    shrink the tail), and a lockstep loop pays its slowest query on the
+    full [B] every iteration.  So: ``lockstep`` full-width steps, then
+    the unfinished tail prefix-compacts into a [B/tail_div] workspace
+    and walks to ``max_steps`` there.  A tail overflowing the workspace
+    (>> measured tail x16 headroom) or exhausting max_steps reports
+    ok=False — the caller must treat those as NOT located (the split
+    machinery's correctness rests on containment).
+
+    Returns (cur [B] int32, ok [B] bool).
     """
     B = q.shape[0]
     cur = jnp.asarray(start, jnp.int32)
     prev = jnp.full(B, -1, jnp.int32)
     done = jnp.zeros(B, bool)
+    state = (cur, prev, done, jnp.int32(0))
+    for _ in range(lockstep):
+        state = _walk_step(packed, q, state)
+    cur, prev, done, steps = state
 
-    def cond(state):
-        cur, prev, done, steps = state
-        return jnp.logical_and(steps < max_steps, ~jnp.all(done))
-
-    def body(state):
-        cur, prev, done, steps = state
-        tv = geometry.take_rows(tri_v, cur)  # [B, 3]
-        p3 = geometry.take_rows(pts, jnp.maximum(tv, 0))  # [B, 3, 2]
-        # Face i is (v_{i+1}, v_{i+2}); one batched predicate over the
-        # [B, 3] face grid, normalized by the triangle's orientation.
-        a = jnp.roll(p3, -1, axis=1)
-        b = jnp.roll(p3, -2, axis=1)
-        s3 = robust.orient2d_ds(a, b, q[:, None, :])  # [B, 3]
-        o = robust.orient2d_ds(p3[:, 0], p3[:, 1], p3[:, 2])
-        osg = jnp.where(o < 0, -1.0, 1.0).astype(s3.dtype)
-        s3 = s3 * osg[:, None]
-        inside = jnp.all(s3 >= 0, axis=-1)
-        worst = jnp.argmin(s3, axis=-1)
-        s2 = jnp.where(
-            jnp.arange(3) == worst[:, None], jnp.inf, s3
-        )
-        second = jnp.argmin(s2, axis=-1)
-        two_neg = jnp.sum((s3 < 0).astype(jnp.int32), axis=-1) > 1
-        worst = jnp.where(
-            two_neg & ((steps & 1) == 1), second, worst
-        ).astype(jnp.int32)
-        tn = geometry.take_rows(tri_n, cur)
-        nbr = jnp.take_along_axis(tn, worst[:, None], -1)[:, 0]
-        cycling = (nbr == prev) & ~inside
-        newly_done = inside | (nbr < 0) | cycling
-        advance = ~(done | newly_done)
-        new_cur = jnp.where(advance, nbr, cur)
-        new_prev = jnp.where(advance, cur, prev)
-        return new_cur, new_prev, done | newly_done, steps + 1
-
-    cur, _, _, _ = jax.lax.while_loop(
-        cond, body, (cur, prev, done, jnp.int32(0))
-    )
-    return cur
-
-
-def _seed_grid_fill(pts, tri_v, grid_res: int):
-    """Walk-start hint grid over [-0.5, 0.5]^2 from triangle centroids
-    (rows with tri_v[:, 0] < 0 are unallocated pads), BFS-dilated to
-    cover empty cells — the build-state analog of device_tri._grid_device
-    (which needs a compacted triangulation)."""
-    M = tri_v.shape[0]
-    valid = tri_v[:, 0] >= 0
-    cent = geometry.take_rows(pts, jnp.maximum(tri_v, 0)).mean(axis=1)
-    cells = jnp.clip(
-        ((cent + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
-    )
-    flat = cells[:, 0] * grid_res + cells[:, 1]
-    g = jnp.full(grid_res * grid_res, -1, jnp.int32).at[
-        jnp.where(valid, flat, grid_res * grid_res)
-    ].max(jnp.arange(M, dtype=jnp.int32), mode="drop").reshape(
-        grid_res, grid_res
+    # Prefix-compact the unfinished tail.
+    B2 = min(B, max(B // tail_div, 256))
+    ids = jnp.arange(B, dtype=jnp.int32)
+    rank = jnp.cumsum((~done).astype(jnp.int32)) - 1
+    sel = ~done & (rank < B2)
+    slot = jnp.full(B2 + 1, -1, jnp.int32).at[
+        jnp.where(sel, rank, B2)
+    ].set(ids, mode="drop")[:B2]
+    valid2 = slot >= 0
+    sl = jnp.where(valid2, slot, 0)
+    q2 = geometry.take_rows(q, sl)
+    state2 = (
+        jnp.where(valid2, cur[sl], 0),
+        jnp.where(valid2, prev[sl], -1),
+        ~valid2,
+        steps,
     )
 
-    def dil(g):
-        ng = g
-        for ax in (0, 1):
-            for s in (1, -1):
-                cand = jnp.roll(g, s, axis=ax)
-                idx = [slice(None)] * 2
-                idx[ax] = 0 if s == 1 else grid_res - 1
-                cand = cand.at[tuple(idx)].set(-1)
-                ng = jnp.where(ng < 0, cand, ng)
-        return ng
+    def cond2(s):
+        return jnp.logical_and(s[3] < max_steps, ~jnp.all(s[2]))
 
-    return jax.lax.while_loop(lambda g: jnp.any(g < 0), dil, g)
+    cur2, _, _, _ = jax.lax.while_loop(
+        cond2, lambda s: _walk_step(packed, q2, s), state2
+    )
+    cur = cur.at[jnp.where(valid2, slot, B + 1)].set(cur2, mode="drop")
+    # Containment re-checked for EVERY query (phase-1 `done` also covers
+    # boundary/cycling stops, which are not containment).
+    return cur, _walk_contained(packed, cur, q)
 
 
 def _seed_state_2d(
     sites_padded, cage_std, n_real: int, dtype, seed_frac: int = 8,
-    grid_res: int = 512,
+    grid_res: int | None = None,
 ):
     """Qhull-import bootstrap for the chunked 2D build (README:18).
 
@@ -889,6 +926,10 @@ def _seed_state_2d(
     m = n_pad // seed_frac
     if m < 32 or m > n_real:
         return None
+    if grid_res is None:
+        # ~1 seed site per 2 cells: hints stay the query's own/adjacent
+        # site without drowning the BFS dilation in empty cells.
+        grid_res = 1 << int(np.ceil(np.log2(max(np.sqrt(2.0 * m), 16))))
     np_dtype = np.dtype(dtype)
     full_m = 2 * n_pad + 3
     rounded = sites_padded[:m].astype(np_dtype).astype(np.float64)
@@ -905,11 +946,15 @@ def _seed_state_2d(
     det = (pb[:, 0] - pa[:, 0]) * (pc[:, 1] - pa[:, 1]) - (
         pb[:, 1] - pa[:, 1]
     ) * (pc[:, 0] - pa[:, 0])
-    tv_h = np.full((full_m, 3), -1, np.int32)
+    # Ship only the [PK]-prefix (PK = 2m+1 >= T0 by Euler) — the
+    # full-workspace pad rows are constants, appended device-side: the
+    # host->device transfer drops ~8x (67 MB -> 8 MB at 1M sites).
+    PK = 2 * m + 1
+    tv_h = np.full((PK, 3), -1, np.int32)
     tv_h[:T0] = tv0
-    tn_h = np.full((full_m, 3), -1, np.int32)
+    tn_h = np.full((PK, 3), -1, np.int32)
     tn_h[:T0] = tn0
-    cc_h = np.zeros((full_m, 2), np_dtype)
+    cc_h = np.zeros((PK, 2), np_dtype)
     cc_h[:T0, 0] = (det != 0).astype(np_dtype)
     cc_h[:T0, 1] = tv0.sum(1).astype(np_dtype)
     # Sites Qhull merged away (duplicates/coplanar): not vertices of the
@@ -924,21 +969,60 @@ def _seed_state_2d(
 
     from ..utils import config as _config
 
+    # Walk-start hints: a triangle INCIDENT to the nearest seed site
+    # (Qhull's vertex_to_simplex), rasterized to a host grid.  The
+    # triangle-centroid grid hinted some queries across long detours —
+    # the lockstep walk pays its SLOWEST query every iteration, and the
+    # detour tail alone put the 1M walk at 2.2 s (64-iteration cap).
+    # With per-site hints the hint triangle touches a site ~one spacing
+    # away, so walks stay a handful of steps for every query.
+    v2s = np.asarray(sd.vertex_to_simplex, np.int32)[3:]  # per seed site
+    cells = np.clip(
+        ((rounded + 0.5) * grid_res).astype(np.int64), 0, grid_res - 1
+    )
+    flat = cells[:, 0] * grid_res + cells[:, 1]
+    g = np.full(grid_res * grid_res, -1, np.int32)
+    g[flat] = v2s  # last writer wins; any incident triangle is fine
+    g = g.reshape(grid_res, grid_res)
+    while (g < 0).any():  # BFS dilation (vectorized; a few rounds)
+        for ax in (0, 1):
+            for s in (1, -1):
+                cand = np.roll(g, s, axis=ax)
+                if ax == 0:
+                    cand[0 if s == 1 else -1, :] = -1
+                else:
+                    cand[:, 0 if s == 1 else -1] = -1
+                g = np.where(g < 0, cand, g)
+
     def make_seed_init():
         @jax.jit
-        def seed_init(sites, cage, tv, tn, cc, ins, n_tris):
+        def seed_init(sites, cage, tvp, tnp, ccp, ins, n_tris, grid):
             pts = jnp.concatenate([cage.astype(sites.dtype), sites])
-            g = _seed_grid_fill(pts, tv, grid_res)
             q = pts[3:]
             qc = jnp.clip(
                 ((q + 0.5) * grid_res).astype(jnp.int32), 0, grid_res - 1
             )
-            start = g.reshape(-1)[qc[:, 0] * grid_res + qc[:, 1]]
-            loc = _locate_walk_exact(pts, tv, tn, start, q)
+            start = grid.reshape(-1)[qc[:, 0] * grid_res + qc[:, 1]]
+            packed = _pack_walk_rows(pts, tvp, tnp)
+            loc, ok = _locate_walk_exact(packed, start, q)
             site_tri = jnp.where(ins, jnp.int32(-1), loc)
+            n_bad = jnp.minimum(
+                jnp.sum(~ok & ~ins, dtype=jnp.int32), 127
+            )
+            pad = full_m - PK
+            tv = jnp.concatenate(
+                [tvp, jnp.full((pad, 3), -1, jnp.int32)]
+            )
+            tn = jnp.concatenate(
+                [tnp, jnp.full((pad, 3), -1, jnp.int32)]
+            )
+            cc = jnp.concatenate([ccp, jnp.zeros((pad, 2), ccp.dtype)])
             st = BuildState(
                 tv, tn, cc, n_tris, site_tri,
-                jnp.sum(~ins, dtype=jnp.int32),
+                # n_left rides the (saturated) bad-location count in its
+                # high bits (n_left < 2^24): ONE ~0.5 s scalar readback
+                # surfaces both at the orchestrator's first sync.
+                jnp.sum(~ins, dtype=jnp.int32) + (n_bad << 24),
             )
             return pts, st, jnp.zeros(full_m, bool)
 
@@ -952,6 +1036,7 @@ def _seed_state_2d(
         jnp.asarray(cc_h),
         jnp.asarray(inserted),
         jnp.int32(T0),
+        jnp.asarray(g),
     )
     fn = _aot_compile(
         ("seed_init", n_pad, full_m, grid_res, str(np_dtype)),
@@ -1045,6 +1130,14 @@ def build_2d_chunked(
         # Qhull-import bootstrap (_seed_state_2d): state arrives built.
         pts, st, dirty = seed
         cap_now = st.tri_v.shape[0]
+        # Decode the seed locate's bad count from n_left's high bits
+        # (this int() is the build's first device sync).
+        v = int(st.n_left)
+        if v >> 24:
+            raise RuntimeError(
+                f"seed locate failed for {v >> 24}(+) sites"
+            )
+        st = st._replace(n_left=jnp.int32(v & 0xFFFFFF))
     else:
         sites_dev = jnp.asarray(sites_std)
         cage_dev = jnp.asarray(cage_std)
@@ -1085,8 +1178,21 @@ def build_2d_chunked(
                 R_s = max(min(R // 2, M // 4), 1)
                 n_new = jnp.int32(0)
                 for _ in range(splits_per_round):
-                    st, dirty, n_new_i = _split_round_compact(
-                        pts, st, dirty, R_s, rsite
+                    # Skip drained split rounds (lax.cond executes one
+                    # branch): the last iteration of the insert loop
+                    # otherwise pays up to splits_per_round-1 full-R_s
+                    # claim/split/relocate rounds that insert nothing.
+                    def _do_split(pts, st, dirty):
+                        st, dirty, k = _split_round_compact(
+                            pts, st, dirty, R_s, rsite
+                        )
+                        return st, dirty, k.astype(jnp.int32)
+
+                    st, dirty, n_new_i = jax.lax.cond(
+                        st.n_left > 0,
+                        _do_split,
+                        lambda pts, st, dirty: (st, dirty, jnp.int32(0)),
+                        pts, st, dirty,
                     )
                     n_new = n_new + n_new_i
                 tri_v, tri_n, cc, dirty, _, _, site_tri, _nf, _nc = (
@@ -1196,7 +1302,11 @@ def build_2d_chunked(
     tri_v, tri_n, cc = st.tri_v, st.tri_n, st.cc
     swept = 0
     nd = full_m  # upper bound; refined by each dispatch's readback
-    r_small = min(32768, r_compact, full_m)
+    # Tail rung sized so the post-bulk residue (measured ~100k dirty rows
+    # after the seeded build's first big dispatch) routes straight to the
+    # cheap rung instead of paying full-window rounds on a nearly-drained
+    # set (16 x 276 ms of waste in the r3 layout).
+    r_small = min(131072, r_compact, full_m)
     # Adaptive big-rung dispatch depth: start short (cheap diagnostics,
     # watchdog-safe on degraded servers), double while dispatches stay
     # fast — k is traced, so every depth reuses one compiled program.
@@ -1288,6 +1398,7 @@ def triangulate(
     seed_import: str = "auto",
     seed_min: int = 200_000,
     seed_frac: int = 8,
+    build_opts: dict | None = None,
 ):
     """End-to-end device Delaunay: standardize, cage, shuffle, build, freeze.
 
@@ -1361,10 +1472,23 @@ def triangulate(
                 sites_padded, np.asarray(cage_std, np.float64), n, dtype,
                 seed_frac=seed_frac,
             )
-        tri_v, tri_n, alive, _ = build_2d_chunked(
-            jnp.asarray(sites_padded, dtype), cage_std, n_real=n,
-            seed=seed,
-        )
+        try:
+            tri_v, tri_n, alive, _ = build_2d_chunked(
+                jnp.asarray(sites_padded, dtype), cage_std, n_real=n,
+                seed=seed, **(build_opts or {}),
+            )
+        except RuntimeError:
+            if seed is None:
+                raise
+            from ..utils import config as _config
+
+            # Seed locate exhausted its walk budget (loud, never silent
+            # corruption — see _locate_walk_exact): redo self-seeded.
+            _config.log.warning("build: seed locate failed; self-seeding")
+            tri_v, tri_n, alive, _ = build_2d_chunked(
+                jnp.asarray(sites_padded, dtype), cage_std, n_real=n,
+                **(build_opts or {}),
+            )
     else:
         tri_v, tri_n, alive, _ = jax.jit(build_2d)(
             jnp.asarray(sites_padded, dtype),

@@ -31,6 +31,10 @@ from gsl_scattered_interpolation_tpu.models import (
 )
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+import json as _json
+import os as _os
+
+BUILD_OPTS = _json.loads(_os.environ.get("GSI_VERIFY_OPTS", "{}"))
 rng = np.random.default_rng(7)
 sites = rng.uniform(-0.5, 0.5, size=(N, 2))
 values = np.sin(6 * sites[:, 0]) * np.cos(6 * sites[:, 1])
@@ -44,6 +48,7 @@ for label in ("first", "steady"):
         dtype=jnp.float32,
         chunk_threshold=400_000,
         grid_res=512,
+        build_opts=BUILD_OPTS,
     )
     jax.block_until_ready(tri.tri_verts)
     print(f"== {label}: {time.perf_counter() - t0:.2f}s", flush=True)
