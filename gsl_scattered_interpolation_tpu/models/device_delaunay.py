@@ -1155,17 +1155,19 @@ def build_2d_chunked(
             t_disp - t_entry,
         )
 
-    def make_k_rounds(R, rsite):
-        # k is a traced operand: one program serves every batch size.
+    def make_k_rounds(R, rsite, spr):
+        # k and floor are traced operands: one program serves every batch
+        # size; the device loop exits once n_left <= floor so the host
+        # can switch to the cheap tail program (see the insert loop).
         @functools.partial(
             jax.jit, static_argnums=(), donate_argnums=(1, 2)
         )
-        def k_rounds(pts, st, dirty, k):
+        def k_rounds(pts, st, dirty, k, floor):
             M = st.tri_v.shape[0]
 
             def cond(c):
                 st, dirty, it, progress = c
-                return (st.n_left > 0) & (it < k) & progress
+                return (st.n_left > floor) & (it < k) & progress
 
             def body(c):
                 st, dirty, it, _progress = c
@@ -1177,7 +1179,7 @@ def build_2d_chunked(
                 # restoration is the sweep's job.
                 R_s = max(min(R // 2, M // 4), 1)
                 n_new = jnp.int32(0)
-                for _ in range(splits_per_round):
+                for _ in range(spr):
                     # Skip drained split rounds (lax.cond executes one
                     # branch): the last iteration of the insert loop
                     # otherwise pays up to splits_per_round-1 full-R_s
@@ -1275,21 +1277,33 @@ def build_2d_chunked(
             st, dirty = grow(pts, st, dirty, new_cap)
             cap_now = new_cap
             config.log.info("build: grow capacity -> %d", cap_now)
-        R = min(r_compact, cap_now)
+        # Two insert rungs: the BIG program (full windows, several split
+        # rounds per flip block) runs while the remaining-site count
+        # carries it, then exits at `tail_min` (a traced floor) so the
+        # TAIL program — one split round on small windows — finishes the
+        # last few percent.  Without the tail rung, the final iterations
+        # claim ~nothing but pay full-R_s rounds (measured: 2 of the
+        # seeded build's 3 iterations inserted 51k + 36 sites for 2.1 s
+        # of its 3.4 s insert phase).
+        tail_min = min(131072, r_compact // 4)
+        tail = n_left <= tail_min
+        R = min(131072 if tail else r_compact, cap_now)
+        spr = 1 if tail else splits_per_round
+        floor = jnp.int32(0 if tail else tail_min)
         rsite = min(r_site, 1 << 21)
         kr = _aot_compile(
-            ("k_rounds", cap_now, R, rsite, splits_per_round,
+            ("k_rounds", cap_now, R, rsite, spr,
              flips_per_round, N, str(dtype)),
-            lambda: make_k_rounds(R, rsite),
-            (pts, st, dirty, jnp.int32(k_batch)),
+            lambda: make_k_rounds(R, rsite, spr),
+            (pts, st, dirty, jnp.int32(k_batch), floor),
         )
         td = _time.perf_counter()
-        st, dirty = kr(pts, st, dirty, jnp.int32(k_batch))
+        st, dirty = kr(pts, st, dirty, jnp.int32(k_batch), floor)
         n_left = int(st.n_left)  # forces the sync; count it in the wall
         rounds += k_batch
         config.log.info(
-            "build rounds <=%d (cap=%d, %.2fs): %d left, %.2fs total",
-            rounds, cap_now, _time.perf_counter() - td, n_left,
+            "build rounds <=%d (cap=%d, R=%d, %.2fs): %d left, %.2fs total",
+            rounds, cap_now, R, _time.perf_counter() - td, n_left,
             _time.perf_counter() - t0,
         )
     if cap_now < full_m:
@@ -1319,7 +1333,10 @@ def build_2d_chunked(
         # cheaper.  Tail rounds are cheap enough to batch deep (fewer
         # ~0.3 s scalar readbacks); big-rung dispatches stay short for
         # the watchdog.
-        tail = nd < (3 * r_small) // 4
+        # Route to the tail rung as soon as the residue fits a couple of
+        # tail windows: a 149k-dirty residue that just missed a 3/4
+        # threshold measured 16 full-window rounds (4.6 s) of waste.
+        tail = nd < 2 * r_small
         # Big-rung window: the final sweep has NO relocation work, and its
         # first dispatches face the whole post-insert violation backlog —
         # a wider window + deeper flip cap (sweep_r, sweep_rf_div) drains
