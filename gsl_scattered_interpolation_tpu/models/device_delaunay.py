@@ -1155,7 +1155,7 @@ def build_2d_chunked(
             t_disp - t_entry,
         )
 
-    def make_k_rounds(R, rsite, spr):
+    def make_k_rounds(R, rsite, spr, fpr):
         # k and floor are traced operands: one program serves every batch
         # size; the device loop exits once n_left <= floor so the host
         # can switch to the cheap tail program (see the insert loop).
@@ -1200,7 +1200,7 @@ def build_2d_chunked(
                 tri_v, tri_n, cc, dirty, _, _, site_tri, _nf, _nc = (
                     _flip_sweep_compact(
                         pts, st.tri_v, st.tri_n, st.cc, dirty,
-                        R, jnp.int32(flips_per_round),
+                        R, jnp.int32(fpr),
                         site_tri=st.site_tri, r_site=rsite,
                     )
                 )
@@ -1289,12 +1289,16 @@ def build_2d_chunked(
         tail = n_left <= tail_min
         R = min(131072 if tail else r_compact, cap_now)
         spr = 1 if tail else splits_per_round
+        # Tail iterations also sweep only ONE flip round: their job is
+        # exact site relocation, and deferred restorations drain cheaper
+        # in the final sweep (bigger windows, no relocation work).
+        fpr = 1 if tail else flips_per_round
         floor = jnp.int32(0 if tail else tail_min)
         rsite = min(r_site, 1 << 21)
         kr = _aot_compile(
             ("k_rounds", cap_now, R, rsite, spr,
-             flips_per_round, N, str(dtype)),
-            lambda: make_k_rounds(R, rsite, spr),
+             fpr, N, str(dtype)),
+            lambda: make_k_rounds(R, rsite, spr, fpr),
             (pts, st, dirty, jnp.int32(k_batch), floor),
         )
         td = _time.perf_counter()
@@ -1449,7 +1453,6 @@ def triangulate(
     shuffle = rng_util.insertion_shuffle(key, n)
     sites_shuffled = sites_raw[shuffle]
     cage_raw = geometry.cage_vertices(d, shift, scale, np.dtype(dtype).type)
-    sites_std = np.asarray(scale * (sites_shuffled - shift), np.float64)
     cage_std = jnp.asarray(scale * (cage_raw - shift), dtype)
 
     # Deterministic symbolic perturbation for the BUILD's predicates only:
@@ -1463,7 +1466,6 @@ def triangulate(
     # incircle slack and eval error (512 ulps in f32 measurably hurt).
     jit_mag = 8.0 * machine.eps(dtype)
     prng = np.random.default_rng(12345)
-    sites_build = sites_std + jit_mag * prng.uniform(-1, 1, sites_std.shape)
 
     # Shape bucketing: pad the site count up to the next {1, 1.5}x2^k
     # bucket with pre-inserted (never-claimed) pad rows, so the compiled
@@ -1471,9 +1473,15 @@ def triangulate(
     # whole range of N.  XLA compile through the axon remote tunnel costs
     # ~50x execution for this program; shape reuse is the difference
     # between a one-time and a per-problem-size cost.
+    # (Standardize + jitter in place on the one padded buffer: the
+    # shuffle/standardize/jitter chain materialized three extra [N, 2]
+    # f64 arrays on this 1-core host.)
     n_pad = bucket_size(n)
     sites_padded = np.zeros((n_pad, d), np.float64)
-    sites_padded[:n] = sites_build
+    sites_padded[:n] = sites_shuffled
+    sites_padded[:n] -= shift
+    sites_padded[:n] *= scale
+    sites_padded[:n] += jit_mag * prng.uniform(-1, 1, (n, d))
     if n > chunk_threshold:
         # Host-orchestrated round batches: a single multi-minute device
         # execution would trip the TPU runtime watchdog at this scale.
