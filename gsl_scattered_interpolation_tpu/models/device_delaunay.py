@@ -55,6 +55,14 @@ from ..utils.aot import aot_compile as _aot_compile
 INT_MAX = np.iinfo(np.int32).max
 
 
+class SeedLocateError(RuntimeError):
+    """Raised when the Qhull-seed bootstrap's exact-predicate walk failed
+    to locate some sites (walk budget exhausted).  Distinct from
+    RuntimeError so the seeded->self-seeded fallback in :func:`triangulate`
+    cannot swallow genuine device/compile failures (jaxlib's
+    XlaRuntimeError subclasses RuntimeError)."""
+
+
 def bucket_size(n: int, floor: int = 256) -> int:
     """Smallest {1, 1.5} x 2^k >= n: the shape-bucket ladder (<=33% pad
     waste) that keeps the number of distinct compiled build programs —
@@ -926,6 +934,12 @@ def _seed_state_2d(
     m = n_pad // seed_frac
     if m < 32 or m > n_real:
         return None
+    if n_pad >= (1 << 24):
+        # n_left rides the saturated bad-locate count in bits 24..30 (see
+        # seed_init below); a remaining-site count that can reach 2^24
+        # would spill into the flag bits and masquerade as a failed seed
+        # locate.  Fall back to the self-seeded build above that size.
+        return None
     if grid_res is None:
         # ~1 seed site per 2 cells: hints stay the query's own/adjacent
         # site without drowning the BFS dilation in empty cells.
@@ -1024,7 +1038,19 @@ def _seed_state_2d(
                 # surfaces both at the orchestrator's first sync.
                 jnp.sum(~ins, dtype=jnp.int32) + (n_bad << 24),
             )
-            return pts, st, jnp.zeros(full_m, bool)
+            # f32: the 8-ulp jitter (~1e-7 of the unit box) dwarfs Qhull's
+            # f64 merge tolerance, so the seed is exactly Delaunay for the
+            # device's compensated predicates and starts clean.  f64: the
+            # 8-f64-ulp jitter sits INSIDE Qhull's tolerance-merging band
+            # on near-degenerate input, so seed diagonals can violate the
+            # compensated incircle test — start the seed rows dirty and
+            # let the first sweep verify them (clean rows drain in one
+            # cheap pass; ADVICE r4 medium).
+            if np_dtype == np.float64:
+                dirty0 = jnp.arange(full_m, dtype=jnp.int32) < n_tris
+            else:
+                dirty0 = jnp.zeros(full_m, bool)
+            return pts, st, dirty0
 
         return seed_init
 
@@ -1134,7 +1160,7 @@ def build_2d_chunked(
         # (this int() is the build's first device sync).
         v = int(st.n_left)
         if v >> 24:
-            raise RuntimeError(
+            raise SeedLocateError(
                 f"seed locate failed for {v >> 24}(+) sites"
             )
         st = st._replace(n_left=jnp.int32(v & 0xFFFFFF))
@@ -1502,7 +1528,7 @@ def triangulate(
                 jnp.asarray(sites_padded, dtype), cage_std, n_real=n,
                 seed=seed, **(build_opts or {}),
             )
-        except RuntimeError:
+        except SeedLocateError:
             if seed is None:
                 raise
             from ..utils import config as _config

@@ -708,12 +708,23 @@ class CellIndex(NamedTuple):
     # q-centered score rows [T, 12] f32 (g 3x3 row-major + bias 3),
     # gathered per candidate in small blocks at query time.
     rows: jax.Array | None = None
+    # Static completeness: True iff every simplex/cell intersection is
+    # listed (host build, or a device build with zero span-cap /
+    # pair-budget drops).  When False, locate_cells must route EVERY
+    # not-contained query to the walk — a non-overflow cell's "no
+    # candidate contains q" verdict is only exact for complete lists.
+    complete: bool = True
 
 
 jax.tree_util.register_pytree_node(
     CellIndex,
-    lambda c: ((c.table, c.overflow, c.hint, c.rows), (c.res, c.k)),
-    lambda aux, ch: CellIndex(*ch[:3], res=aux[0], k=aux[1], rows=ch[3]),
+    lambda c: (
+        (c.table, c.overflow, c.hint, c.rows),
+        (c.res, c.k, c.complete),
+    ),
+    lambda aux, ch: CellIndex(
+        *ch[:3], res=aux[0], k=aux[1], rows=ch[3], complete=aux[2]
+    ),
 )
 
 
@@ -786,16 +797,35 @@ def _qcentered_host(tri: DeviceTriangulation):
 
 
 def build_cell_index(
-    tri: DeviceTriangulation, grid_res: int | None = None, K: int = 16
+    tri: DeviceTriangulation,
+    grid_res: int | None = None,
+    K: int = 16,
+    method: str = "auto",
 ) -> CellIndex:
-    """Rasterize simplexes into per-cell candidate lists (freeze-time, host).
+    """Rasterize simplexes into per-cell candidate lists (freeze-time).
 
     Conservative: every (simplex, cell) intersection is listed.  Small-
     span simplexes use their bbox directly; large-span ones (cage slivers
     whose bbox covers most of the square) get an exact dilated half-plane
     test so they only land in cells they actually touch.  d == 3
     dispatches to :func:`_build_cell_index_3d` (13-float packed rows).
+
+    ``method``: "host" is the original 1-core numpy rasterizer (always
+    complete); "device" runs :func:`_device_index_kernel` on the
+    accelerator (VERDICT r4 item 3: the host build cost 28.4 s at 2D-1M
+    and 23.3 s at 3D against 8.4 s / 2.6 s of TPU query work it gated);
+    "auto" picks the device past a size threshold where the host cost
+    bites (2D >= 200k simplexes, 3D >= 32k).
     """
+    if method == "auto":
+        thresh = 200_000 if tri.dim == 2 else 32_768
+        method = (
+            "device"
+            if tri.dim in (2, 3) and tri.n_tris >= thresh
+            else "host"
+        )
+    if method == "device":
+        return _build_cell_index_device(tri, grid_res, K)
     if tri.dim == 3:
         # 3D needs a deeper candidate list: measured 13.5% overflow at
         # K=16 vs ~4% at K=24 on 67k uniform tets
@@ -1167,6 +1197,316 @@ def _build_cell_index_3d(
     )
 
 
+def _device_index_statics(T: int, d: int, grid_res, K):
+    """Shared static sizing for the device cell-index build."""
+    if d == 2:
+        G = (
+            int(np.clip(int(np.sqrt(max(T, 1) / 2.0)), 16, 2048))
+            if grid_res is None
+            else int(grid_res)
+        )
+        K = int(K)
+        span_cap = 64
+        pair_budget = 12
+    else:
+        G = (
+            int(np.clip(round(1.7 * max(T, 1) ** (1.0 / 3.0)), 8, 160))
+            if grid_res is None
+            else int(grid_res)
+        )
+        K = max(int(K), 24)
+        span_cap = 4096
+        pair_budget = 96
+    P = pair_budget * T
+    return G, K, span_cap, P
+
+
+def _device_index_kernel(
+    tri: DeviceTriangulation,
+    G: int,
+    K: int,
+    span_cap: int,
+    P: int,
+    packed: bool,
+    rank: str,
+):
+    """Jit body of the device cell-index build (2D and 3D).
+
+    The host rasterizer (:func:`build_cell_index`) is 1-core numpy and
+    gates the at-scale query configs (28.4 s at 2D-1M, 23.3 s at 3D —
+    3-9x the TPU query time it enables, VERDICT r4 item 3).  Every step
+    is embarrassingly parallel, so it runs on device:
+
+      1. bbox cell ranges per simplex; simplexes whose bbox exceeds
+         ``span_cap`` cells (cage slivers) emit nothing and flag the
+         index INCOMPLETE (exactness is preserved by locate_cells'
+         walk-everything-not-contained rule for incomplete indexes);
+      2. fixed-budget pair expansion [P]: exclusive-cumsum starts, a
+         scatter + cummax recovers each pair's owning simplex, modular
+         decomposition its cell offset (budget overflow -> incomplete);
+      3. conservative simplex/cell filter: per-simplex affine
+         coefficients (edge/face normals + support-margin-folded
+         offsets) gathered per pair — keep iff the cell center is
+         inside every dilated half-space (the same box-support test as
+         the host path, unnormalized + fp slack, strictly conservative);
+      4. ranking: per-cell candidate slots hold the K lowest simplex
+         ids, either by one (cell, pair) sort + segment offsets
+         (``rank="sort"``) or K scatter-min/check rounds
+         (``rank="minround"``) — both reproduce the host's first-K-by-
+         id-order semantics;
+      5. packing: one [Pk, NF] row scatter into a row-major table, then
+         a single relayout transpose to the query path's field-major
+         [G^d, NF*K] form (7 fields in 2D, 13 in 3D; or the two-stage
+         int32 id table when ``packed`` is False).
+
+    Returns ``(table, overflow, hint, n_bad[, rows])`` with ``n_bad``
+    the dropped simplex/spilled pair count (0 => the index is complete).
+    """
+    d = tri.dim
+    T = tri.n_tris
+    dtype = jnp.float32
+    cell_w = 1.0 / G
+    NC = G**d
+    verts = geometry.take_rows(tri.points_std, tri.tri_verts).astype(dtype)
+    lo = jnp.clip(
+        jnp.floor((verts.min(1) + 0.5) * G).astype(jnp.int32), 0, G - 1
+    )
+    hi = jnp.clip(
+        jnp.floor((verts.max(1) + 0.5) * G).astype(jnp.int32), 0, G - 1
+    )
+    spans = hi - lo + 1  # [T, d]
+    cnt = jnp.prod(spans, axis=1)
+    emit = cnt <= span_cap
+    cnt_e = jnp.where(emit, cnt, 0)
+    starts = jnp.cumsum(cnt_e) - cnt_e
+    total = starts[-1] + cnt_e[-1]
+    n_bad = jnp.sum((~emit).astype(jnp.int32)) + jnp.maximum(
+        total - P, 0
+    )
+
+    # 2. pair -> owning simplex: scatter each emitting simplex's id at its
+    # start (starts are distinct among emitters), forward-fill by cummax.
+    ok_sc = (cnt_e > 0) & (starts < P)
+    own = (
+        jnp.zeros(P + 1, jnp.int32)
+        .at[jnp.where(ok_sc, starts, P)]
+        .max(jnp.arange(T, dtype=jnp.int32), mode="drop")[:P]
+    )
+    rep = jax.lax.cummax(own)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    pvalid = pidx < jnp.minimum(total, P)
+    k_in = pidx - starts[rep]
+    lo_p = geometry.take_rows(lo, rep)      # [P, d]
+    sp_p = geometry.take_rows(spans, rep)
+    dx = k_in % sp_p[:, 0]
+    r = k_in // sp_p[:, 0]
+    if d == 2:
+        dy = r
+        cxy = jnp.stack([lo_p[:, 0] + dx, lo_p[:, 1] + dy], -1)
+        cid = cxy[:, 0] * G + cxy[:, 1]
+    else:
+        dy = r % sp_p[:, 1]
+        dz = r // sp_p[:, 1]
+        cxy = jnp.stack(
+            [lo_p[:, 0] + dx, lo_p[:, 1] + dy, lo_p[:, 2] + dz], -1
+        )
+        cid = (cxy[:, 0] * G + cxy[:, 1]) * G + cxy[:, 2]
+
+    # 3. conservative filter.  Per-simplex half-space coefficients with
+    # the support margin folded into the offset: keep iff
+    # sum_j a_j C_j + c0 >= 0 for every edge/face.
+    nfaces = d + 1
+    slack = 32.0 * float(np.finfo(np.float32).eps)
+    if d == 2:
+        a, b, c = verts[:, 0], verts[:, 1], verts[:, 2]
+        area = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (c[:, 0] - a[:, 0])
+        sgn = jnp.where(area >= 0, 1.0, -1.0).astype(dtype)
+        coeff = []
+        for p_, q_ in ((a, b), (b, c), (c, a)):
+            ex = q_[:, 0] - p_[:, 0]
+            ey = q_[:, 1] - p_[:, 1]
+            ax = -sgn * ey
+            ay = sgn * ex
+            mag = jnp.abs(ex) + jnp.abs(ey)
+            c0 = (
+                -sgn * (ex * p_[:, 1] - ey * p_[:, 0])
+                + 0.5 * cell_w * mag
+                + slack * mag
+            )
+            coeff.append(jnp.stack([ax, ay, c0], -1))
+        face = jnp.concatenate(coeff, -1)  # [T, 9]
+    else:
+        face_idx = ((1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2))
+        coeff = []
+        for kf, (i_, j_, l_) in enumerate(face_idx):
+            a, b, c = verts[:, i_], verts[:, j_], verts[:, l_]
+            n = jnp.cross(b - a, c - a)
+            s = jnp.sum(n * (verts[:, kf] - a), axis=1)
+            n = jnp.where(s[:, None] >= 0, n, -n)
+            mag = jnp.abs(n).sum(axis=1)
+            c0 = (
+                -jnp.sum(n * a, axis=1)
+                + 0.5 * cell_w * mag
+                + slack * mag
+            )
+            coeff.append(jnp.concatenate([n, c0[:, None]], -1))
+        face = jnp.concatenate(coeff, -1)  # [T, 16]
+    fc = geometry.take_rows(face, rep)      # [P, nfaces*(d+1)]
+    Cc = (cxy.astype(dtype) + 0.5) * cell_w - 0.5  # [P, d]
+    keep = pvalid
+    for kf in range(nfaces):
+        blk = fc[:, kf * (d + 1) : (kf + 1) * (d + 1)]
+        v = blk[:, d]
+        for j in range(d):
+            v = v + blk[:, j] * Cc[:, j]
+        keep = keep & (v >= 0)
+
+    cidk = jnp.where(keep, cid, NC)
+    counts = jnp.zeros(NC + 1, jnp.int32).at[cidk].add(1)[:NC]
+    overflow = counts > K
+
+    # 4. ranking -> per-pair column (col < K wins a table slot).
+    if rank == "sort":
+        skey, sval = jax.lax.sort((cidk, pidx), num_keys=1)
+        cellstarts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
+        )
+        srank = jnp.arange(P, dtype=jnp.int32) - cellstarts[
+            jnp.minimum(skey, NC)
+        ]
+        col = (
+            jnp.full(P, K, jnp.int32)
+            .at[sval]
+            .set(jnp.where(skey < NC, srank, K))
+        )
+    else:  # K scatter-min rounds: pairs are simplex-id ordered, so the
+        # K smallest pair ids per cell == the host's first-K semantics.
+        col = jnp.full(P, K, jnp.int32)
+        placed = ~keep
+        for kk in range(K):
+            cand = jnp.where(placed, INT32_MAX, pidx)
+            slot = (
+                jnp.full(NC + 1, INT32_MAX, jnp.int32)
+                .at[cidk]
+                .min(cand)
+            )
+            win = ~placed & (slot[cidk] == pidx)
+            col = jnp.where(win, kk, col)
+            placed = placed | win
+    got = keep & (col < K)
+    rowidx = jnp.where(got, cid * K + col, NC * K)
+
+    # 5. score fields + packing.
+    A, bias = _qcentered_tables(tri)
+    A = A.astype(dtype).reshape(T, d * d)
+    bias = bias.astype(dtype)
+    tid_f = jnp.arange(T, dtype=dtype)[:, None]
+    score = jnp.concatenate([A, bias, tid_f], -1)  # [T, NF]
+    NF = d * d + d + 1
+    # hint: the col==0 winner, else the walk-start bucket grid's simplex.
+    hint = (
+        jnp.full(NC + 1, -1, jnp.int32)
+        .at[jnp.where(got & (col == 0), cid, NC)]
+        .set(rep, mode="drop")[:NC]
+    )
+    gr = tri.grid_res
+    idx = jnp.arange(NC, dtype=jnp.int32)
+    if d == 2:
+        gx = (idx // G) * gr // G
+        gy = (idx % G) * gr // G
+        fb = tri.grid_tri.reshape(-1)[gx * gr + gy]
+    else:
+        cx = idx // (G * G)
+        cy = (idx // G) % G
+        cz = idx % G
+        gx = jnp.minimum(cx * gr // G, gr - 1)
+        gy = jnp.minimum(cy * gr // G, gr - 1)
+        gz = jnp.minimum(cz * gr // G, gr - 1)
+        fb = tri.grid_tri.reshape(-1)[(gx * gr + gy) * gr + gz]
+    hint = jnp.where(hint >= 0, hint, fb)
+
+    if not packed:
+        ids = (
+            jnp.full(NC * K + 1, -1, jnp.int32)
+            .at[rowidx]
+            .set(rep, mode="drop")[: NC * K]
+            .reshape(NC, K)
+        )
+        return ids, overflow, hint, n_bad, score[:, : NF - 1]
+    init_row = jnp.zeros(NF, dtype).at[d * d : d * d + d].set(1e30)
+    init_row = init_row.at[NF - 1].set(-1.0)
+    table_rm = jnp.broadcast_to(init_row, (NC * K + 1, NF)).at[
+        rowidx
+    ].set(geometry.take_rows(score, rep), mode="drop")[: NC * K]
+    table = (
+        table_rm.reshape(NC, K, NF)
+        .transpose(0, 2, 1)
+        .reshape(NC, NF * K)
+    )
+    return table, overflow, hint, n_bad
+
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def _build_cell_index_device(
+    tri: DeviceTriangulation,
+    grid_res: int | None = None,
+    K: int = 16,
+    rank: str = "sort",
+) -> CellIndex:
+    """Device-side cell-candidate index build (see _device_index_kernel).
+
+    Chooses the packed vs two-stage 3D layout by the same HBM budget as
+    the host path; reads back ONE scalar (the drop count) to set the
+    static ``complete`` flag honestly.
+    """
+    from ..utils.aot import aot_compile as _aot
+
+    d = tri.dim
+    T = tri.n_tris
+    G, K, span_cap, P = _device_index_statics(T, d, grid_res, K)
+    packed = True
+    if d == 3:
+        packed = G**3 * 13 * K * 4 <= int(
+            os.environ.get("GSI_CELLS3D_PACKED_BYTES", 1_500_000_000)
+        )
+
+    def make():
+        @jax.jit
+        def run(tri):
+            return _device_index_kernel(
+                tri, G, K, span_cap, P, packed, rank
+            )
+
+        return run
+
+    fn = _aot(
+        ("cell_index_dev", d, T, G, K, span_cap, P, packed, rank,
+         tri.grid_res, str(tri.points_std.dtype)),
+        make,
+        (tri,),
+    )
+    out = fn(tri)
+    if packed:
+        table, overflow, hint, n_bad = out
+        rows = None
+    else:
+        table, overflow, hint, n_bad, rows = out
+    complete = int(n_bad) == 0  # one ~0.5s readback; also syncs the build
+    return CellIndex(
+        table=table,
+        overflow=overflow,
+        hint=hint,
+        res=G,
+        k=K,
+        rows=rows,
+        complete=complete,
+    )
+
+
 def _locate_cells_score_3d(tri, cells, q_raw):
     """[B] 3D candidate scoring, internally chunked for HBM safety.
 
@@ -1317,11 +1657,16 @@ def locate_cells(
     # and out-of-square misses (clamped to a boundary cell they are not
     # inside — e.g. cage-region points of a native build), plus queries
     # where the f32 score and the query-dtype weights disagree (boundary
-    # noise).
+    # noise).  An INCOMPLETE index (device build with span-cap/budget
+    # drops — see _build_cell_index_device) cannot certify "outside":
+    # every not-contained query walks instead.
     outside_sq = jnp.any(jnp.abs(q_std) > 0.5, axis=-1)
-    bad = ((cells.overflow[cid] | outside_sq) & ~contained) | (
-        contained & ~w_ok
-    )
+    if cells.complete:
+        bad = ((cells.overflow[cid] | outside_sq) & ~contained) | (
+            contained & ~w_ok
+        )
+    else:
+        bad = ~(contained & w_ok)
     in_domain = contained & w_ok
 
     if fallback == "none":

@@ -27,25 +27,37 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models import device_tri, rbf
 
 
-def interp_sharded(tri, response_ext, q, mesh, method: str = "auto"):
+def interp_sharded(
+    tri, response_ext, q, mesh, method: str = "auto", cells=None
+):
     """Batched interpolation with queries sharded over the mesh's dp axis.
 
-    q's leading dimension must divide by mesh.shape['dp'].
+    q's leading dimension must divide by mesh.shape['dp'].  With
+    ``method="cells"`` pass a :class:`device_tri.CellIndex`; its tables
+    are replicated like the triangulation (the flagship 100M-query
+    configuration: dp-sharded queries, replicated candidate grid).
     """
     q_sharded = jax.device_put(q, NamedSharding(mesh, P("dp", None)))
     repl = NamedSharding(mesh, P())
     tri_r = jax.tree.map(lambda a: jax.device_put(a, repl), tri)
     resp_r = jax.device_put(response_ext, repl)
+    cells_r = (
+        jax.tree.map(lambda a: jax.device_put(a, repl), cells)
+        if cells is not None
+        else None
+    )
 
     @functools.partial(
         jax.jit,
         static_argnames=("method",),
         out_shardings=NamedSharding(mesh, P("dp")),
     )
-    def run(tri, resp, qq, method):
-        return device_tri.interp(tri, resp, qq, method=method)
+    def run(tri, resp, qq, cells, method):
+        return device_tri.interp(
+            tri, resp, qq, method=method, cells=cells
+        )
 
-    return run(tri_r, resp_r, q_sharded, method)
+    return run(tri_r, resp_r, q_sharded, cells_r, method)
 
 
 def rbf_matvec_sharded(xs_local, v_local, phi, epsilon, smooth, axis="tp"):

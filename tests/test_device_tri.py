@@ -301,6 +301,106 @@ class TestCellIndex:
         np.testing.assert_allclose(out[interior], 1.0, atol=1e-9)
 
 
+class TestCellIndexDevice:
+    """Device-built cell index (VERDICT r4 item 3): exactness vs the
+    dense locate, and list equivalence vs the host rasterizer where
+    nothing is span-capped."""
+
+    def _tri(self, n=800, seed=0, d=2):
+        rng = np.random.default_rng(seed)
+        sites = rng.uniform(-0.5, 0.5, size=(n, d))
+        tree = ht.build(sites, flags=ht.NOSTANDARDIZE)
+        return dt.freeze(tree, grid_res=64 if d == 2 else 16), sites, tree
+
+    @pytest.mark.parametrize("rank", ["sort", "minround"])
+    def test_2d_matches_dense(self, rank):
+        tri, sites, tree = self._tri()
+        cells = dt._build_cell_index_device(tri, rank=rank)
+        # Native builds carry cage slivers beyond the span cap: the
+        # device index must declare itself incomplete and stay exact
+        # through the walk-everything-not-contained rule.
+        assert not cells.complete
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(3000, 2)))
+        leaf_c, w_c, in_c = dt.locate_cells(tri, cells, q)
+        leaf_d, w_d, in_d = dt.locate_dense(tri, q)
+        np.testing.assert_allclose(
+            np.asarray(w_c.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+        # out-of-square + cage region queries stay correct (walk route)
+        q2 = jnp.asarray([[5.0, 5.0], [-3.0, 0.2], [0.0, 0.0]])
+        resp = jnp.asarray(
+            np.concatenate([np.zeros(3), np.ones(len(sites))])
+        )
+        v_c = np.asarray(
+            dt.interp(tri, resp, q2, method="cells", cells=cells)
+        )
+        v_w = np.asarray(dt.interp(tri, resp, q2, method="walk"))
+        np.testing.assert_allclose(v_c, v_w, atol=1e-9)
+
+    def test_2d_lists_match_host_for_import(self):
+        # Qhull import (no cage slivers): every bbox fits the span cap,
+        # so the device build is COMPLETE and its non-overflow cell
+        # lists must match the host rasterizer's exactly (same
+        # first-K-by-id semantics, same conservative support test).
+        from scipy.spatial import Delaunay as ScipyDelaunay
+
+        from gsl_scattered_interpolation_tpu.models import (
+            geometry_extras as gx,
+        )
+
+        rng = np.random.default_rng(3)
+        sites = rng.uniform(-0.5, 0.5, size=(1200, 2))
+        tri = gx.from_scipy_delaunay(ScipyDelaunay(sites), sites)
+        hostc = dt.build_cell_index(tri, method="host")
+        devc = dt._build_cell_index_device(tri, grid_res=hostc.res,
+                                           K=hostc.k)
+        assert devc.complete
+        th = np.asarray(hostc.table).reshape(hostc.res**2, 7, hostc.k)
+        td = np.asarray(devc.table).reshape(devc.res**2, 7, devc.k)
+        ok_rows = ~np.asarray(hostc.overflow)
+        ids_h = th[ok_rows, 6, :]
+        ids_d = td[ok_rows, 6, :]
+        # The device support margin (exact box support on the edge
+        # normal) is TIGHTER than the host's half-diagonal margin, so
+        # each device list must be a SUBSET of the host list — never
+        # list a triangle the (conservative-complete) host missed.
+        subset = (
+            (ids_d[:, :, None] == ids_h[:, None, :]).any(-1)
+            | (ids_d < 0)
+        ).all(-1)
+        assert subset.all(), (~subset).sum()
+        # ...and both stay exact (checked below via locate agreement).
+        q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(4000, 2)))
+        _, wh, _ = dt.locate_cells(tri, hostc, q)
+        _, wd_, _ = dt.locate_cells(tri, devc, q)
+        np.testing.assert_allclose(
+            np.asarray(wh.min(-1)), np.asarray(wd_.min(-1)), atol=1e-9
+        )
+
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_3d_matches_dense(self, packed, monkeypatch):
+        if packed:
+            monkeypatch.delenv("GSI_CELLS3D_PACKED_BYTES", raising=False)
+        else:
+            monkeypatch.setenv("GSI_CELLS3D_PACKED_BYTES", "0")
+        tri, sites, tree = self._tri(n=400, seed=5, d=3)
+        cells = dt._build_cell_index_device(tri)
+        assert (cells.rows is None) == packed
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(3000, 3)))
+        _, w_c, _ = dt.locate_cells(tri, cells, q)
+        _, w_d, _ = dt.locate_dense(tri, q)
+        np.testing.assert_allclose(
+            np.asarray(w_c.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+
+    def test_auto_dispatch_threshold(self):
+        tri, sites, tree = self._tri(n=300, seed=9)
+        cells = dt.build_cell_index(tri)  # small -> host path
+        assert cells.complete
+
+
 class TestCellIndex3d:
     """3D cell-candidate locate + G^3 walk-start grid."""
 
