@@ -499,7 +499,8 @@ def _weights(tri: DeviceTriangulation, cur, q_raw):
         coords = jnp.stack([c0, c1], axis=-1)
     else:
         A = row[..., : d * d].reshape(*row.shape[:-1], d, d)
-        coords = jnp.einsum("...ij,...j->...i", A, dq) + w0
+        # Elementwise contraction (no einsum): TPU f32 matmuls run bf16.
+        coords = jnp.sum(A * dq[..., None, :], axis=-1) + w0
     w = jnp.concatenate(
         [coords, 1.0 - jnp.sum(coords, axis=-1, keepdims=True)], axis=-1
     )
@@ -629,7 +630,8 @@ def locate_dense(tri: DeviceTriangulation, q_raw, block: int | None = None):
     c0 = tri.shift
     G2 = jnp.transpose(jnp.swapaxes(A, -1, -2), (1, 0, 2)).reshape(d, T * d)
     bias = (
-        w0 + jnp.einsum("tij,tj->ti", A, c0 - anchor)
+        # elementwise, not einsum: TPU f32 matmuls run bf16 (CLAUDE.md)
+        w0 + jnp.sum(A * (c0 - anchor)[:, None, :], axis=-1)
     ).reshape(T * d)
 
     def score(qb):
@@ -729,13 +731,19 @@ jax.tree_util.register_pytree_node(
 
 
 def _qcentered_tables(tri: DeviceTriangulation):
-    """(g [T,2,2], bias [T,2]) with coords(q) = g @ (q - shift) + bias."""
+    """(g [T,2,2], bias [T,2]) with coords(q) = g @ (q - shift) + bias.
+
+    The contraction is written ELEMENTWISE (broadcast-multiply + sum),
+    never einsum/matmul: on this TPU f32 matmuls run single-pass bf16,
+    and a bf16 bias (~1e-2 relative on anchor-offset products) breaks
+    the containment scores of every device-built cell table.
+    """
     d = tri.dim
     T = tri.n_tris
     A = tri.affine[:, : d * d].reshape(T, d, d)
     anchor = tri.affine[:, d * d : d * d + d]
     w0 = tri.affine[:, d * d + d :]
-    bias = w0 + jnp.einsum("tij,tj->ti", A, tri.shift - anchor)
+    bias = w0 + jnp.sum(A * (tri.shift - anchor)[:, None, :], axis=-1)
     return A, bias
 
 
@@ -1451,6 +1459,12 @@ def _device_index_kernel(
 INT32_MAX = np.iinfo(np.int32).max
 
 
+@jax.jit
+def _canon_copy(t):
+    """Force the default (row-major) device layout via a scatter copy."""
+    return jnp.zeros_like(t).at[:, :].set(t)
+
+
 def _build_cell_index_device(
     tri: DeviceTriangulation,
     grid_res: int | None = None,
@@ -1493,6 +1507,11 @@ def _build_cell_index_device(
     if packed:
         table, overflow, hint, n_bad = out
         rows = None
+        # Canonical-layout copy: XLA gives the build's transposed output
+        # a K-minor physical layout, and every query-time row gather then
+        # pays a relayout (~12% measured at 600k tris).  One extra
+        # streaming pass restores the default layout.
+        table = _canon_copy(table)
     else:
         table, overflow, hint, n_bad, rows = out
     complete = int(n_bad) == 0  # one ~0.5s readback; also syncs the build

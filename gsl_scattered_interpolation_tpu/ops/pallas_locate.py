@@ -117,7 +117,8 @@ def locate_dense_pallas(tri, q_raw, interpret: bool = False):
     w0 = tri.affine[:, d * d + d :].astype(jnp.float32)
     c0 = tri.shift.astype(jnp.float32)
     # c_k(q) = A[k,:] . (q - c0) + (w0[k] + A[k,:] . (c0 - anchor))
-    bias = w0 + jnp.einsum("tij,tj->ti", A, c0 - anchor)  # [T, 2]
+    # (elementwise, not einsum: TPU f32 matmuls run bf16 — CLAUDE.md trap)
+    bias = w0 + jnp.sum(A * (c0 - anchor)[:, None, :], axis=-1)  # [T, 2]
     g_pack = jnp.concatenate(
         [A[:, 0, :].T, A[:, 1, :].T], axis=0
     )  # [4, T]: rows g0x g0y g1x g1y

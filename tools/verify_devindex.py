@@ -59,6 +59,11 @@ diff = np.max(np.abs(out_d - out_h))
 print(f"device vs host interp diff {diff:.2e}", flush=True)
 assert diff < 1e-5, diff
 
+# fast-path hit rate (diagnoses fallback-volume slowdowns)
+for name, c in (("dev", cells), ("host", hostc)):
+    _, _, ind = dt.locate_cells(tri, c, q, fallback="none")
+    print(f"{name} fastpath in_domain {float(ind.mean()):.5f}", flush=True)
+
 # throughput with each index (salted)
 for name, c in (("dev", cells), ("host", hostc)):
     jax.block_until_ready(f(tri, resp_tri, q, c))
