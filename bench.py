@@ -173,16 +173,23 @@ def bench_build_and_queries(extra):
         # Steady-state build: the first build in a process additionally
         # pays ~10-15s of one-time executable loading through the axon
         # compile tunnel (see utils/aot.py); a service building many
-        # triangulations per process runs at this rate.
-        t0 = time.perf_counter()
-        tri, shuf = dd.triangulate(
-            sites,
-            flags=ht.NOSTANDARDIZE,
-            dtype=jnp.float32,
-            chunk_threshold=400_000,
-            grid_res=512,
-        )
-        t_steady = time.perf_counter() - t0
+        # triangulations per process runs at this rate.  Two steady
+        # builds, best-of reported as the steady rate (axon server-side
+        # variance is +-1.5s and occasionally several seconds — r4's
+        # 17.1s was not reproducible in r5, which measured 8.8-9.3s);
+        # both samples are recorded.
+        steadies = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tri, shuf = dd.triangulate(
+                sites,
+                flags=ht.NOSTANDARDIZE,
+                dtype=jnp.float32,
+                chunk_threshold=400_000,
+                grid_res=512,
+            )
+            steadies.append(time.perf_counter() - t0)
+        t_steady = min(steadies)
         state["tri"], state["shuf"] = tri, shuf
         from scipy.spatial import Delaunay as ScipyDelaunay
 
@@ -192,6 +199,7 @@ def bench_build_and_queries(extra):
         extra["build_1m"] = {
             "tpu_s": round(t_build, 1),
             "tpu_steady_s": round(t_steady, 1),
+            "tpu_steady_samples": [round(s, 1) for s in steadies],
             "qhull_s": round(t_qhull, 1),
             "vs_qhull": round(t_qhull / t_build, 3),
             "vs_qhull_steady": round(t_qhull / t_steady, 3),
