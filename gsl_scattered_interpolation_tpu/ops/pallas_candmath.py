@@ -82,9 +82,11 @@ def _kernel(ax, ay, fx, fy, tv, fid, valid, degt, degu, out):
         jnp.where(q0 >= q1, 0, 1),
         jnp.where(q2 >= q3, 2, 3),
     )
-    p3_on_flip_diag = (p3 == 0) | (p3 == 2)
-    want = jnp.where(S > 0, p3_on_flip_diag, ~p3_on_flip_diag)
-    want = want & (S != 0)
+    # int32 select arms: Mosaic rejects sub-byte (bool) select operands
+    # ("Unsupported target bitwidth for truncation").
+    p3i = ((p3 == 0) | (p3 == 2)).astype(jnp.int32)
+    want_i = jnp.where(S > 0, p3i, 1 - p3i)
+    want = (want_i > 0) & (S != 0)
     ok = (valid[:] > 0) & convex & (
         want | (degt[:] > 0) | (degu[:] > 0)
     )
