@@ -33,7 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 from . import robust
 
 LANE = 128
-SUB = 64          # sublane rows per block: 64x128 = 8192 elems/block
+# 16x128 = 2048 elems/block: the double-single predicate chains keep
+# ~100 live temporaries per element — 64x128 blocks exceeded the 128M
+# VMEM budget (measured 158M).
+SUB = 16
 BLOCK = SUB * LANE
 
 
@@ -154,6 +157,13 @@ def candidates_math_pallas(
             spec3, spec3, spec1, spec1, spec3, spec1, spec1, spec1, spec1
         ],
         out_specs=spec1,
+        # The DS-predicate chains keep thousands of live temporaries per
+        # element; the default 16M scoped-VMEM stack OOMs (measured
+        # 39.7M at 16x128 blocks) — raise the cap instead of shrinking
+        # blocks below the (8, 128) f32 tile floor.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
     return out.reshape(-1)[:L].reshape(R, 3).astype(bool)
