@@ -783,7 +783,7 @@ def _round_jit(pts, st, S, C):
     return _round(pts, st, S, C)
 
 
-def _k_rounds(pts, st, S, C, k, s_div=16):
+def _k_rounds(pts, st, S, C, k, s_div=16, waves=4):
     """Up to ``k`` insertion rounds in ONE device dispatch.
 
     The device->host scalar sync costs ~0.5 s through the axon tunnel
@@ -802,7 +802,7 @@ def _k_rounds(pts, st, S, C, k, s_div=16):
 
     def body(c):
         st, it, _progress = c
-        st, n_w = _round(pts, st, S, C, s_div=s_div)
+        st, n_w = _round(pts, st, S, C, s_div=s_div, waves=waves)
         return st, it + 1, n_w > 0
 
     st, it, _ = jax.lax.while_loop(
@@ -840,7 +840,7 @@ def init_state_seeded(
 def build(sites_std, cage_std, cavity_cap: int = 64, s_cap: int = 512,
           slots_per_site: float | None = None, n_real: int | None = None,
           k_batch: int = 128, init: CavityState | None = None,
-          n_left0: int | None = None, s_div: int = 32):
+          n_left0: int | None = None, s_div: int = 32, waves: int = 4):
     """Host-orchestrated parallel Bowyer-Watson build (any d >= 2).
 
     Args:
@@ -888,9 +888,11 @@ def build(sites_std, cage_std, cavity_cap: int = 64, s_cap: int = 512,
         # cache; trace+lower+compile loads the same program in ~5 s and
         # is memoized per (statics, shapes) for the process lifetime.
         kr = _aot(
-            ("cavity_k_rounds", S, C, s_div, M, d, str(dtype)),
-            lambda S=S, C=C, s_div=s_div: jax.jit(
-                lambda pts, st, k: _k_rounds(pts, st, S, C, k, s_div),
+            ("cavity_k_rounds", S, C, s_div, waves, M, d, str(dtype)),
+            lambda S=S, C=C, s_div=s_div, waves=waves: jax.jit(
+                lambda pts, st, k: _k_rounds(
+                    pts, st, S, C, k, s_div, waves
+                ),
                 donate_argnums=(1,),
             ),
             (pts, st, jnp.int32(k_batch)),
@@ -955,6 +957,7 @@ def triangulate(
     seed_import: str = "auto",
     seed_min: int = 4096,
     s_div: int = 32,
+    waves: int = 4,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -1118,6 +1121,7 @@ def triangulate(
         init=init,
         n_left0=n_left0,
         s_div=s_div,
+        waves=waves,
     )
     points_raw = np.concatenate([cage_raw, sites_shuffled])
     tri = device_tri.from_arrays(
