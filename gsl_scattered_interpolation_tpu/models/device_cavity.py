@@ -956,7 +956,7 @@ def triangulate(
     jitter_ulps: float | None = None,
     seed_import: str = "auto",
     seed_min: int = 4096,
-    seed_frac_div: int = 8,
+    seed_frac_div: float = 8,
     s_div: int = 32,
     waves: int = 4,
 ):
@@ -1059,7 +1059,7 @@ def triangulate(
             # candidates at <700 left).  With the shell seeded, the
             # remaining sites are interior: cavities stay ~20 and the
             # tail drains at the normal bulk rate.
-            m = min(n, max(2048, n // seed_frac_div))
+            m = min(n, max(2048, int(n / seed_frac_div)))
             np_dtype = np.dtype(dtype)
             rounded = sites_padded[:n].astype(np_dtype).astype(np.float64)
             cage_r = np.asarray(cage_std, np.float64)
