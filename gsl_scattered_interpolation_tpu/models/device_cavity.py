@@ -956,9 +956,9 @@ def triangulate(
     jitter_ulps: float | None = None,
     seed_import: str = "auto",
     seed_min: int = 4096,
-    seed_frac_div: float = 8,
+    seed_frac_div: float | None = None,
     s_div: int = 32,
-    waves: int = 4,
+    waves: int = 2,
 ):
     """End-to-end device cavity Delaunay for any d >= 2: standardize, cage,
     shuffle, build, freeze (the device analog of ``simplex_tree_init``,
@@ -1059,7 +1059,20 @@ def triangulate(
             # candidates at <700 left).  With the shell seeded, the
             # remaining sites are interior: cavities stay ~20 and the
             # tail drains at the normal bulk rate.
-            m = min(n, max(2048, int(n / seed_frac_div)))
+            # Scale-aware seed size (r5 sweeps, 10k/100k 3D f32 steady):
+            # parallel cavity insertion is CONFLICT-limited while the
+            # triangulation is small — a footprint-~40 independent set
+            # on <~70k tets admits only ~100-150 concurrent inserts, so
+            # winners/round stay flat no matter how many candidates
+            # fight (S>512 measured 1.5-3x WORSE; waves 2 == 4).  Seed
+            # deeper at small n (10k: n/1.5 -> 2.6s vs n/8 -> 11.7s),
+            # shallower as the device rounds gain parallel headroom
+            # (100k: n/2 -> 18.2s steady vs 230s at r4 defaults).
+            if seed_frac_div is None:
+                fdiv = 1.5 if n <= 20_000 else (2 if n <= 200_000 else 4)
+            else:
+                fdiv = seed_frac_div
+            m = min(n, max(2048, int(n / fdiv)))
             np_dtype = np.dtype(dtype)
             rounded = sites_padded[:n].astype(np_dtype).astype(np.float64)
             cage_r = np.asarray(cage_std, np.float64)
