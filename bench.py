@@ -647,6 +647,14 @@ def bench_kriging(extra):
     t0 = time.perf_counter()
     m = kriging.LocalKriging(x, f, k_neighbors=24, dtype=jnp.float32)
     t_fit = time.perf_counter() - t0
+    # Steady refit (salted): r4's 23.5s "fit" was one-time executable
+    # loads + first-touch; the per-fit cost is ~0.5s (r5 profile).
+    t0 = time.perf_counter()
+    m2 = kriging.LocalKriging(
+        x + 1e-9, f, k_neighbors=24, dtype=jnp.float32
+    )
+    t_fit_steady = time.perf_counter() - t0
+    del m2
     B = 1_000_000
     q = rng.uniform(0.5, 9.5, size=(B, 2))
     mean, var = m.predict(jnp.asarray(q, jnp.float32), chunk=262_144)
@@ -689,6 +697,7 @@ def bench_kriging(extra):
         extra["kriging_cpu_error"] = repr(e)[:200]
     extra["kriging_100k"] = {
         "fit_s": round(t_fit, 2),
+        "fit_steady_s": round(t_fit_steady, 2),
         "predict_1m_s": round(t_pred, 2),
         "qps": round(B / t_pred),
         "rmse": float(f"{np.sqrt(np.mean(err**2)):.3e}"),

@@ -1094,6 +1094,7 @@ def build_2d_chunked(
     sweep_rf_div: int = 2,
     sweep_r: int | None = None,
     sweep_rf_big: int | None = None,
+    tail_floor: int | None = None,
     seed=None,
 ):
     """Host-orchestrated chunked build: short device executions in batches
@@ -1311,7 +1312,10 @@ def build_2d_chunked(
         # claim ~nothing but pay full-R_s rounds (measured: 2 of the
         # seeded build's 3 iterations inserted 51k + 36 sites for 2.1 s
         # of its 3.4 s insert phase).
-        tail_min = min(131072, r_compact // 4)
+        tail_min = (
+            min(131072, r_compact // 4) if tail_floor is None
+            else tail_floor
+        )
         tail = n_left <= tail_min
         R = min(131072 if tail else r_compact, cap_now)
         spr = 1 if tail else splits_per_round
