@@ -366,6 +366,13 @@ def bench_cavity3d(extra):
         )
         jax.block_until_ready(tri2.tri_verts)
         t_build = time.perf_counter() - t0
+        # steady-state at 100k (VERDICT r4 item 2: record it)
+        t0 = time.perf_counter()
+        tri2, shuf2 = dc.triangulate(
+            sites2 + 1e-7, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
+        )
+        jax.block_until_ready(tri2.tri_verts)
+        t_steady = time.perf_counter() - t0
         t0 = time.perf_counter()
         ScipyDelaunay(sites2)
         t_qhull = time.perf_counter() - t0
@@ -382,14 +389,15 @@ def bench_cavity3d(extra):
         err = np.abs(out[ok] - ref[ok])
         extra["cavity3d_100k"] = {
             "tpu_s": round(t_build, 1),
+            "tpu_steady_s": round(t_steady, 1),
             "qhull_s": round(t_qhull, 2),
             "p999_err_vs_scipy": float(f"{np.quantile(err, 0.999):.3e}"),
             "max_err_vs_scipy": float(f"{err.max():.3e}"),
             "n_tets": int(tri2.tri_verts.shape[0]),
         }
         _log(
-            f"cavity3d_100k: tpu {t_build:.1f}s vs qhull {t_qhull:.2f}s, "
-            f"max err {err.max():.2e}"
+            f"cavity3d_100k: tpu {t_build:.1f}s (steady {t_steady:.1f}s) "
+            f"vs qhull {t_qhull:.2f}s, max err {err.max():.2e}"
         )
 
     @_guard(extra, "q3d")

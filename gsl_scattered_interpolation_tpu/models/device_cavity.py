@@ -1069,7 +1069,7 @@ def triangulate(
             # shallower as the device rounds gain parallel headroom
             # (100k: n/2 -> 18.2s steady vs 230s at r4 defaults).
             if seed_frac_div is None:
-                fdiv = 1.5 if n <= 20_000 else (2 if n <= 200_000 else 4)
+                fdiv = 1.25 if n <= 20_000 else (2 if n <= 200_000 else 4)
             else:
                 fdiv = seed_frac_div
             m = min(n, max(2048, int(n / fdiv)))

@@ -1223,8 +1223,13 @@ def _device_index_statics(T: int, d: int, grid_res, K):
             else int(grid_res)
         )
         K = max(int(K), 24)
-        span_cap = 4096
-        pair_budget = 80
+        # 3D bbox spans average ~55 cells/tet with a heavy hull/cage-gap
+        # tail: an 80/tet budget measured 34% dropped pairs at 67k tets
+        # (mass walk fallback, queries_3d 7.9 -> 1.8 Mq/s).  Cap the
+        # tail harder (span > 1024 is gap/cage geometry, not interior
+        # coverage) and budget for the mean + margin.
+        span_cap = 1024
+        pair_budget = 128
     P = pair_budget * T
     return G, K, span_cap, P
 
