@@ -54,6 +54,29 @@ def enable_compile_cache(path: str | None = None) -> None:
         import jax
 
         _os.makedirs(path, exist_ok=True)
+        # Seed from the COMMITTED warm cache (warm_cache/ at the repo
+        # root holds the pruned set of compiled programs bench.py hits
+        # — VERDICT r4 item 7): a fresh clone starts warm instead of
+        # paying ~100-400s of tunnel compile per big program.  Hardlink
+        # when possible (instant, same fs), else copy once.
+        warm = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)
+            ))),
+            "warm_cache",
+        )
+        if _os.path.isdir(warm) and _os.path.abspath(
+            warm
+        ) != _os.path.abspath(path):
+            import shutil as _shutil
+
+            for f in _os.listdir(warm):
+                dst = _os.path.join(path, f)
+                if not _os.path.exists(dst):
+                    try:
+                        _os.link(_os.path.join(warm, f), dst)
+                    except OSError:
+                        _shutil.copy2(_os.path.join(warm, f), dst)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 0.5
