@@ -179,7 +179,7 @@ def bench_build_and_queries(extra):
         # 17.1s was not reproducible in r5, which measured 8.8-9.3s);
         # both samples are recorded.
         steadies = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             tri, shuf = dd.triangulate(
                 sites,
@@ -193,9 +193,14 @@ def bench_build_and_queries(extra):
         state["tri"], state["shuf"] = tri, shuf
         from scipy.spatial import Delaunay as ScipyDelaunay
 
-        t0 = time.perf_counter()
-        ScipyDelaunay(sites)
-        t_qhull = time.perf_counter() - t0
+        # best-of-2, same treatment as the TPU steady samples (the
+        # 1-core host shows the same server-load variance)
+        qh = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ScipyDelaunay(sites)
+            qh.append(time.perf_counter() - t0)
+        t_qhull = min(qh)
         extra["build_1m"] = {
             "tpu_s": round(t_build, 1),
             "tpu_steady_s": round(t_steady, 1),

@@ -130,6 +130,38 @@ class TestBuild:
             n_data=len(sites),
         )
 
+    def test_seed_state_f64_starts_dirty(self):
+        # ADVICE r4 medium: Qhull tolerance-merges near-degenerate
+        # facets, and for f64 builds the 8-ulp jitter sits INSIDE that
+        # tolerance — seed triangles must start dirty so the first
+        # sweep re-verifies them under the compensated predicates.  f32
+        # seeds (jitter >> Qhull tolerance) stay clean.
+        rng = np.random.default_rng(5)
+        n = 1024
+        sites = rng.uniform(-0.5, 0.5, size=(n, 2))
+        import jax.numpy as jnp
+
+        from gsl_scattered_interpolation_tpu.ops import geometry as geo
+
+        cage_raw = geo.cage_vertices(
+            2, np.zeros(2), np.ones(2), np.float64
+        )
+        pad = np.zeros((dd.bucket_size(n), 2))
+        pad[:n] = sites
+        for dtype, want_dirty in ((jnp.float64, True),
+                                  (jnp.float32, False)):
+            out = dd._seed_state_2d(pad, cage_raw, n, dtype, seed_frac=2)
+            assert out is not None
+            pts, st, dirty = out
+            T0 = int(
+                np.asarray((st.tri_v[:, 0] >= 0)).sum()
+            )
+            d0 = np.asarray(dirty)
+            if want_dirty:
+                assert d0[:T0].all() and not d0[T0:].any()
+            else:
+                assert not d0.any()
+
     def test_qhull_seeded_gridded_degenerate(self):
         # Lattice input through the seeded path: duplicate-free but
         # exactly-degenerate pre-jitter; the seed locate's exact walk and
