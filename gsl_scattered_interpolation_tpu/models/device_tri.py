@@ -712,9 +712,18 @@ class CellIndex(NamedTuple):
     rows: jax.Array | None = None
     # Static completeness: True iff every simplex/cell intersection is
     # listed (host build, or a device build with zero span-cap /
-    # pair-budget drops).  When False, locate_cells must route EVERY
+    # pair-budget drops).  When False, locate_cells routes every
     # not-contained query to the walk — a non-overflow cell's "no
     # candidate contains q" verdict is only exact for complete lists.
+    # CAVEAT (measured r5): an INCOMPLETE index's fast path is
+    # TOLERANCE-exact, not exact-exact — a query whose true containing
+    # simplex was span-cap-dropped can be accepted by a listed
+    # neighbor within the f32 containment slack; across a skinny
+    # neighbor the value error is then O(slack x weight-gradient).
+    # Harmless for interior queries of uniform builds (1M gate vs the
+    # complete host index: 6e-8), but data whose hull fringe carries
+    # skinny simplexes should use the host build (auto does, below the
+    # size threshold) when exact out-of-tolerance behavior matters.
     complete: bool = True
 
 
