@@ -316,14 +316,20 @@ def bench_cavity3d(extra):
             sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
         )
         t_build = time.perf_counter() - t0
-        # steady-state: second build in-process (programs AOT-loaded) —
-        # the per-build cost a production fit loop actually pays
-        t0 = time.perf_counter()
-        tri, shuf = dc.triangulate(
-            sites + 1e-7, flags=ht.NOSTANDARDIZE, dtype=jnp.float32
-        )
-        jax.block_until_ready(tri.tri_verts)
-        t_steady = time.perf_counter() - t0
+        # steady-state: best-of-2 rebuilds in-process (programs
+        # AOT-loaded; salted sites against axon result reuse) — the
+        # per-build cost a production fit loop actually pays.  Server
+        # variance on this ~2.5s signal is ~+-1s (r5 samples 2.5-3.5s).
+        steadies = []
+        for k in (1, 2):
+            t0 = time.perf_counter()
+            tri, shuf = dc.triangulate(
+                sites + k * 1e-7, flags=ht.NOSTANDARDIZE,
+                dtype=jnp.float32,
+            )
+            jax.block_until_ready(tri.tri_verts)
+            steadies.append(time.perf_counter() - t0)
+        t_steady = min(steadies)
         resp = dt.response_for_build(shuf, vals, d=3).astype(jnp.float32)
         state["tri32"] = tri.cast(jnp.float32)
         state["resp"] = resp
@@ -337,12 +343,13 @@ def bench_cavity3d(extra):
         t0 = time.perf_counter()
         ScipyDelaunay(sites)
         t_qhull = time.perf_counter() - t0
-        ref = LinearNDInterpolator(sites + 1e-7, vals)(q)
+        ref = LinearNDInterpolator(sites + 2e-7, vals)(q)  # last rebuild
         ok = np.isfinite(ref)
         err = np.abs(out[ok] - ref[ok])
         extra["cavity3d_10k"] = {
             "tpu_s": round(t_build, 1),
             "tpu_steady_s": round(t_steady, 1),
+            "tpu_steady_samples": [round(s, 1) for s in steadies],
             "qhull_s": round(t_qhull, 2),
             "p999_err_vs_scipy": float(f"{np.quantile(err, 0.999):.3e}"),
             "max_err_vs_scipy": float(f"{err.max():.3e}"),
