@@ -1094,6 +1094,7 @@ def build_2d_chunked(
     sweep_rf_div: int = 2,
     sweep_r: int | None = None,
     sweep_rf_big: int | None = None,
+    sweep_adaptive: bool = True,
     tail_floor: int | None = None,
     seed=None,
 ):
@@ -1405,7 +1406,7 @@ def build_2d_chunked(
             # device execution under the TPU runtime watchdog) — still
             # progressing, keep sweeping; go deeper while execution
             # stays comfortably under the watchdog horizon.
-            if not tail and t_dispatch < 10.0:
+            if sweep_adaptive and not tail and t_dispatch < 10.0:
                 k_sweep = min(2 * k_sweep, 64)
             config.log.info(
                 "build: sweep continues, %d dirty (%d rounds)", nd, swept

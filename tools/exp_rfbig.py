@@ -1,0 +1,23 @@
+"""Deeper big-rung flip cap for the final sweep: rf_big=1 vs default."""
+import logging, sys, time
+import numpy as np
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+import jax, jax.numpy as jnp
+from gsl_scattered_interpolation_tpu.models import device_delaunay as dd, host_tree as ht
+print(jax.devices(), flush=True)
+N = 1_000_000
+rng = np.random.default_rng(7)
+sites = rng.uniform(-0.5, 0.5, size=(N, 2))
+for name, opts in (
+    ("warm", {}),
+    ("rfbig1", {"sweep_rf_big": 1}),
+    ("rfbig1-b", {"sweep_rf_big": 1}),
+    ("default", {}),
+):
+    t0 = time.perf_counter()
+    tri, shuf = dd.triangulate(
+        sites, flags=ht.NOSTANDARDIZE, dtype=jnp.float32,
+        chunk_threshold=400_000, grid_res=512, build_opts=opts,
+    )
+    jax.block_until_ready(tri.tri_verts)
+    print(f"== {name}: {time.perf_counter()-t0:.2f}s", flush=True)
