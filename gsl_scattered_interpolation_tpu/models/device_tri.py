@@ -1492,6 +1492,7 @@ def _build_cell_index_device(
     grid_res: int | None = None,
     K: int = 16,
     rank: str = "sort",
+    pair_budget_override: int | None = None,
 ) -> CellIndex:
     """Device-side cell-candidate index build (see _device_index_kernel).
 
@@ -1504,6 +1505,10 @@ def _build_cell_index_device(
     d = tri.dim
     T = tri.n_tris
     G, K, span_cap, P = _device_index_statics(T, d, grid_res, K)
+    if pair_budget_override is not None:
+        # test hook: force budget spill (the r5 3D regression class —
+        # silently dropped pairs must flag incomplete, never mislocate)
+        P = pair_budget_override * T
     packed = True
     if d == 3:
         packed = G**3 * 13 * K * 4 <= int(

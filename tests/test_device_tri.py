@@ -400,6 +400,22 @@ class TestCellIndexDevice:
         cells = dt.build_cell_index(tri)  # small -> host path
         assert cells.complete
 
+    def test_budget_spill_stays_exact(self):
+        # The r5 3D regression class: a pair budget too small for the
+        # bbox total silently drops listed pairs.  The index must flag
+        # itself incomplete and locate_cells must stay exact through
+        # the walk-everything-not-contained rule (slow, never wrong).
+        tri, sites, tree = self._tri(n=600, seed=11)
+        cells = dt._build_cell_index_device(tri, pair_budget_override=1)
+        assert not cells.complete
+        rng = np.random.default_rng(12)
+        q = jnp.asarray(rng.uniform(-0.49, 0.49, size=(2000, 2)))
+        _, w_c, _ = dt.locate_cells(tri, cells, q)
+        _, w_d, _ = dt.locate_dense(tri, q)
+        np.testing.assert_allclose(
+            np.asarray(w_c.min(-1)), np.asarray(w_d.min(-1)), atol=1e-9
+        )
+
 
 class TestCellIndex3d:
     """3D cell-candidate locate + G^3 walk-start grid."""
