@@ -179,7 +179,7 @@ def bench_build_and_queries(extra):
         # 17.1s was not reproducible in r5, which measured 8.8-9.3s);
         # both samples are recorded.
         steadies = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             tri, shuf = dd.triangulate(
                 sites,
