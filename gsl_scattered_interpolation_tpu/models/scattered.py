@@ -123,8 +123,34 @@ class ScatteredInterp:
             self.shuffle = self.tree.shuffle
         else:
             raise errors.InvalidArgumentError(f"unknown engine {engine!r}")
+        self._cells = None
 
     # -- evaluation ------------------------------------------------------
+
+    def _get_cells(self):
+        """Lazily build the cell-candidate index for at-scale queries.
+
+        Past the brute-force crossover the walk runs ~3 Mq/s where the
+        cell index runs 10-15 Mq/s (r5 measurements); the index builds
+        once (on device at scale — build_cell_index dispatch) and is
+        cached on the instance.  Small triangulations return None and
+        keep the pallas/dense fast path.
+        """
+        if (
+            self._cells is None
+            and self.dim in (2, 3)
+            and self.tri.n_tris > device_tri.DENSE_LOCATE_MAX_TRIS
+        ):
+            self._cells = device_tri.build_cell_index(self.tri)
+        return self._cells
+
+    def _locate(self, q):
+        cells = self._get_cells()
+        if cells is not None:
+            return device_tri.locate_cells(self.tri, cells, q)
+        if self.tri.n_tris <= device_tri.DENSE_LOCATE_MAX_TRIS:
+            return device_tri.locate_dense(self.tri, q)
+        return device_tri.locate(self.tri, q)
 
     def eval(self, q, strict: bool = False):
         """Barycentric interpolation at [B, d] raw query points.
@@ -134,21 +160,18 @@ class ScatteredInterp:
         graceful version of the reference's assert TODO (:344-347).
         """
         q = jnp.atleast_2d(jnp.asarray(q))
-        vals = device_tri.interp(self.tri, self.response, q)
+        vals = device_tri.interp(
+            self.tri, self.response, q, cells=self._get_cells()
+        )
         if strict:
-            _, _, ok = device_tri.locate_dense(self.tri, q) if (
-                self.tri.n_tris <= device_tri.DENSE_LOCATE_MAX_TRIS
-            ) else device_tri.locate(self.tri, q)
+            _, _, ok = self._locate(q)
             if not bool(jnp.all(ok)):
                 raise errors.DomainError("query outside the cage domain")
         return vals
 
     def eval_e(self, q):
         q = jnp.atleast_2d(jnp.asarray(q))
-        if self.tri.n_tris <= device_tri.DENSE_LOCATE_MAX_TRIS:
-            leaf, w, ok = device_tri.locate_dense(self.tri, q)
-        else:
-            leaf, w, ok = device_tri.locate(self.tri, q)
+        leaf, w, ok = self._locate(q)
         vals = jnp.where(
             ok,
             jnp.sum(w * self.response[self.tri.tri_verts[leaf]], axis=-1),
@@ -165,15 +188,13 @@ class ScatteredInterp:
         """
         q = jnp.atleast_2d(jnp.asarray(q))
         d = self.dim
-        if self.tri.n_tris <= device_tri.DENSE_LOCATE_MAX_TRIS:
-            leaf, w, ok = device_tri.locate_dense(self.tri, q)
-        else:
-            leaf, w, ok = device_tri.locate(self.tri, q)
+        leaf, w, ok = self._locate(q)
         row = self.tri.affine[leaf]
         A = row[:, : d * d].reshape(-1, d, d)  # dcoords/dq
         r = self.response[self.tri.tri_verts[leaf]]  # [B, d+1]
         # w = [coords, 1 - sum(coords)] => dw/dq rows: A then -sum of A rows.
-        g = jnp.einsum("bk,bkj->bj", r[:, :d], A) - r[:, d:] * jnp.sum(
+        # (elementwise, not einsum: TPU f32 matmuls run bf16 — CLAUDE.md)
+        g = jnp.sum(r[:, :d, None] * A, axis=1) - r[:, d:] * jnp.sum(
             A, axis=1
         )
         return jnp.where(ok[:, None], g, 0.0)
