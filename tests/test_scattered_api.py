@@ -96,6 +96,35 @@ class TestFacade:
             ScatteredInterp(np.zeros((5, 2)), np.zeros(5), engine="gpu")
 
 
+class TestFacadeAtScale:
+    def test_lazy_cell_index_path(self, monkeypatch):
+        # Past the brute-force crossover the facade lazily builds and
+        # caches a cell-candidate index (r5); force the crossover low so
+        # a small build exercises the path, and check value agreement
+        # with the dense oracle on all three eval surfaces.
+        from gsl_scattered_interpolation_tpu.models import (
+            device_tri as dt,
+        )
+
+        rng = np.random.default_rng(3)
+        sites = rng.uniform(-0.5, 0.5, size=(600, 2))
+        vals = np.sin(3 * sites[:, 0]) + sites[:, 1]
+        si = ScatteredInterp(sites, vals, key=0)
+        monkeypatch.setattr(dt, "DENSE_LOCATE_MAX_TRIS", 8)
+        q = jnp.asarray(rng.uniform(-0.45, 0.45, size=(500, 2)))
+        out = np.asarray(si.eval(q))
+        assert si._cells is not None  # the lazy index was built+cached
+        ref = np.asarray(
+            dt.interp(si.tri, si.response, q, method="dense")
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-9)
+        v_e, status = si.eval_e(q)
+        np.testing.assert_allclose(np.asarray(v_e), ref, atol=1e-9)
+        assert int(np.asarray(status).max()) == 0
+        g = np.asarray(si.eval_deriv(q))
+        assert np.isfinite(g).all()
+
+
 class TestSerialize:
     def test_round_trip(self, tmp_path, weather_interp):
         si, sites, temps = weather_interp
