@@ -1308,6 +1308,12 @@ def _device_index_kernel(
 
     # 2. pair -> owning simplex: scatter each emitting simplex's id at its
     # start (starts are distinct among emitters), forward-fill by cummax.
+    # Budget-overflow note: when total > P the overhang pairs of the
+    # last in-budget simplex decompose to junk cells (k_in beyond its
+    # span).  Harmless by construction: a junk (cell, simplex) entry can
+    # never contain a query of that cell (containment scoring is the
+    # backstop), and total > P also sets n_bad > 0 -> the index reports
+    # incomplete and every not-contained query walks.
     ok_sc = (cnt_e > 0) & (starts < P)
     own = (
         jnp.zeros(P + 1, jnp.int32)
